@@ -1,0 +1,83 @@
+"""Headline benchmark: EVA vs exact-softmax DeiT forward throughput.
+
+Mirrors the reference measurement protocol (``vit/utils.py:249-273``,
+``vit/main.py:330-332``): images/sec over 30 timed forward passes at batch
+128 after warmup, on one chip.  Model: DeiT-tiny-p8 (seq 784) — the
+BASELINE.json north-star config — comparing EVA (49 landmarks, window 7,
+2-D RPE) against exact softmax attention.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec (EVA), "unit": "images/sec",
+   "vs_baseline": EVA-vs-softmax speedup on the same chip}
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from efficient_attention_tpu.models import create_model
+
+BATCH = 128
+ITERS = 30
+WARMUP = 5
+
+
+def build(attn_name: str):
+    if attn_name == "eva":
+        attn_args = {
+            "window_size": 7,
+            "num_landmarks": 49,
+            "attn_2d": True,
+            "use_rpe": True,
+            "adaptive_proj": "default",
+        }
+    else:
+        attn_args = {}
+    return create_model(
+        "evit_tiny_p8", attn_name=attn_name, attn_args=attn_args,
+        img_size=224, num_classes=1000)
+
+
+def throughput(model, dtype=jnp.bfloat16) -> float:
+    x = jnp.ones((BATCH, 224, 224, 3), dtype)
+    params = model.init(jax.random.PRNGKey(0), x[:1], deterministic=True)
+    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply(p, x, deterministic=True)
+
+    out = fwd(params, x)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def main():
+    eva_ips = throughput(build("eva"))
+    softmax_ips = throughput(build("softmax"))
+    print(json.dumps({
+        "metric": "deit_tiny_p8_eva_images_per_sec",
+        "value": round(eva_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(eva_ips / softmax_ips, 3),
+        "detail": {
+            "softmax_images_per_sec": round(softmax_ips, 2),
+            "batch": BATCH,
+            "seq_len": 784,
+            "dtype": "bfloat16",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

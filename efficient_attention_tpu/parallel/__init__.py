@@ -1,0 +1,16 @@
+"""Mesh + sharding: the TPU replacement for the reference's distributed stack."""
+from efficient_attention_tpu.parallel.mesh import (
+    AXIS_DATA,
+    AXIS_FSDP,
+    AXIS_MODEL,
+    AXIS_SEQ,
+    batch_spec,
+    infer_param_specs,
+    make_mesh,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh", "batch_spec", "infer_param_specs", "shard_params",
+    "AXIS_DATA", "AXIS_FSDP", "AXIS_MODEL", "AXIS_SEQ",
+]

@@ -1,0 +1,74 @@
+"""Orbax checkpointing of the unified TrainState.
+
+Replaces ``fairseq/checkpoint_utils.py`` (857 LoC) + ``vit/main.py:355-363``:
+best/last/interval/keep-last policies, async writes, full-state resume, and
+checkpoint averaging (``scripts/average_checkpoints.py``, used by the MT
+recipe ``main.sh:160-164``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin policy wrapper over ``ocp.CheckpointManager``."""
+
+    def __init__(
+        self,
+        directory: str,
+        keep_last: int = 3,
+        save_interval_steps: int = 1,
+        async_save: bool = True,
+        best_fn: Optional[str] = None,  # metric name; higher is better
+    ):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep_last,
+            save_interval_steps=save_interval_steps,
+            enable_async_checkpointing=async_save,
+            best_fn=(lambda m: m[best_fn]) if best_fn else None,
+            best_mode="max" if best_fn else "max",
+        )
+        self.manager = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        self.manager.save(
+            int(step), args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()} or None)
+
+    def restore(self, state_template: Any, step: Optional[int] = None):
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self.manager.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.close()
+
+
+def average_checkpoints(states: List[Any]) -> Any:
+    """Uniform parameter averaging over N restored param pytrees
+    (``scripts/average_checkpoints.py`` — the MT recipe averages the last 10
+    checkpoints before generation, ``main.sh:160-164``)."""
+    n = len(states)
+    assert n > 0
+    def avg(*xs):
+        if not hasattr(xs[0], "dtype"):
+            return xs[0]
+        acc = sum(np.asarray(x, dtype=np.float64) for x in xs) / n
+        return acc.astype(xs[0].dtype)
+
+    return jax.tree_util.tree_map(avg, *states)

@@ -1,0 +1,175 @@
+"""Optimizers + LR schedules (Optax), replacing ``fairseq/optim`` (4.1k LoC)
+and the timm optimizer/scheduler factories used by ``vit/main.py:292-295``.
+
+Schedules cover the three benchmark recipes:
+  * cosine w/ warmup + t-mult restarts (LM recipe, ``main.sh:75-124``)
+  * inverse-sqrt w/ warmup (MT recipe, ``main.sh:146-176``)
+  * timm-style cosine-with-warmup epochs (DeiT recipe, ``README.md:104-145``)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cosine_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    warmup_init_lr: float = 1e-6,
+    min_lr: float = 1e-5,
+) -> optax.Schedule:
+    """DeiT cosine schedule (timm ``CosineLRScheduler`` semantics used by
+    ``vit/main.py``: linear warmup then single cosine to min_lr)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init_lr + (base_lr - warmup_init_lr) * (
+            step / jnp.maximum(warmup_steps, 1))
+        denom = jnp.maximum(total_steps - warmup_steps, 1)
+        progress = jnp.clip((step - warmup_steps) / denom, 0.0, 1.0)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(math.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def cosine_tmult_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    period: int,
+    t_mult: float = 2.0,
+    min_lr: float = 1e-9,
+    warmup_init_lr: float = 1e-7,
+    max_steps: int = 1_000_000,
+) -> optax.Schedule:
+    """fairseq ``cosine`` scheduler with period multiplier (LM recipe:
+    ``--lr-scheduler cosine --t-mult 2 --lr-period-updates 270000``,
+    ``main.sh:75-124``).  Restart boundaries are precomputed statically."""
+    boundaries = []
+    start, length = 0, period
+    while start < max_steps:
+        boundaries.append((start, length))
+        start += length
+        length = int(length * t_mult)
+    starts = jnp.asarray([b[0] for b in boundaries], jnp.float32)
+    lens = jnp.asarray([b[1] for b in boundaries], jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init_lr + (base_lr - warmup_init_lr) * (
+            step / jnp.maximum(warmup_steps, 1))
+        t = jnp.maximum(step - warmup_steps, 0.0)
+        idx = jnp.sum(t >= starts) - 1
+        idx = jnp.clip(idx, 0, len(boundaries) - 1)
+        frac = (t - starts[idx]) / lens[idx]
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(math.pi * frac))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def inverse_sqrt_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    warmup_init_lr: float = 1e-7,
+) -> optax.Schedule:
+    """fairseq ``inverse_sqrt`` (MT recipe: lr 7e-4, warmup 6000)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init_lr + (base_lr - warmup_init_lr) * (
+            step / jnp.maximum(warmup_steps, 1))
+        decay = base_lr * jnp.sqrt(warmup_steps / jnp.maximum(step, 1))
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def polynomial_schedule(base_lr, warmup_steps, total_steps, power=1.0,
+                        end_lr=0.0):
+    """fairseq ``polynomial_decay``."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(warmup_steps, 1)
+        frac = jnp.clip(
+            (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1),
+            0.0, 1.0)
+        dec = (base_lr - end_lr) * frac**power + end_lr
+        return jnp.where(step < warmup_steps, warm, dec)
+    return schedule
+
+
+def weight_decay_mask(params) -> Any:
+    """No weight decay for biases / LayerNorm scales / positional embeddings,
+    matching timm's ``no_weight_decay`` convention + the model's exclusions
+    (``efficient_vit.py:no_weight_decay``)."""
+
+    def decide(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        leafname = names[-1] if names else ""
+        if leafname in ("bias",):
+            return False
+        if leafname == "scale":  # LayerNorm scale
+            return False
+        if any(n in ("pos_embed", "cls_token", "rel_pos_bias",
+                     "relative_attention_bias",
+                     "local_relative_position_bias_table") for n in names):
+            return False
+        return leaf.ndim >= 2
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [decide(p, l) for p, l in flat])
+
+
+def make_optimizer(
+    name: str,
+    schedule: optax.Schedule,
+    weight_decay: float = 0.05,
+    clip_grad: Optional[float] = None,
+    params_for_mask: Any = None,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    momentum: float = 0.99,
+) -> optax.GradientTransformation:
+    """Optimizer factory (registry analogue of ``fairseq/optim/__init__.py``
+    + timm ``create_optimizer``).  Supported: adamw, adam, nag, sgd,
+    adafactor, adagrad, adadelta, adamax, lamb."""
+    chain = []
+    if clip_grad is not None and clip_grad > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    mask = (weight_decay_mask(params_for_mask)
+            if params_for_mask is not None else None)
+    if name == "adamw":
+        chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=weight_decay, mask=mask))
+    elif name == "adam":
+        chain.append(optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps))
+        if weight_decay:
+            chain.insert(-1, optax.add_decayed_weights(weight_decay, mask))
+    elif name == "nag":
+        # fairseq NAG (LM recipe: ``--optimizer nag --lr 1.0``)
+        chain.append(optax.sgd(schedule, momentum=momentum, nesterov=True))
+        if weight_decay:
+            chain.insert(-1, optax.add_decayed_weights(weight_decay, mask))
+    elif name == "sgd":
+        chain.append(optax.sgd(schedule, momentum=momentum))
+    elif name == "adafactor":
+        chain.append(optax.adafactor(schedule))
+    elif name == "adagrad":
+        chain.append(optax.adagrad(schedule))
+    elif name == "adadelta":
+        chain.append(optax.adadelta(schedule))
+    elif name == "adamax":
+        chain.append(optax.adamax(schedule, b1=betas[0], b2=betas[1]))
+    elif name == "lamb":
+        chain.append(optax.lamb(schedule, weight_decay=weight_decay, mask=mask))
+    else:
+        raise NotImplementedError(f"optimizer {name}")
+    return optax.chain(*chain)
