@@ -40,23 +40,28 @@ def build(attn_name: str):
 
 
 def throughput(model, dtype=jnp.bfloat16) -> float:
+    """Timed like ``vit/utils.py:249-273`` but with a device-side dependency
+    chain + single host fetch: on this environment's tunneled TPU,
+    ``block_until_ready`` returns before execution finishes, so each timed
+    iteration feeds a scalar accumulator that is fetched once at the end."""
     x = jnp.ones((BATCH, 224, 224, 3), dtype)
-    params = model.init(jax.random.PRNGKey(0), x[:1], deterministic=True)
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x[:1], deterministic=True))()
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
     @jax.jit
     def fwd(p, x):
-        return model.apply(p, x, deterministic=True)
+        return model.apply(p, x, deterministic=True).sum()
 
-    out = fwd(params, x)
-    jax.block_until_ready(out)
+    acc = fwd(params, x)
     for _ in range(WARMUP):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
+        acc = acc + fwd(params, x)
+    float(acc)  # force everything queued so far
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(ITERS):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
+        acc = acc + fwd(params, x)
+    float(acc)  # single fetch forces the full chain
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 

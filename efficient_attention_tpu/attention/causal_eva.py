@@ -109,6 +109,7 @@ class CausalEVAttention(nn.Module):
                 self.window_size >= self.chunk_size
                 and self.window_size % self.chunk_size == 0
             ), "window_size must be a positive multiple of chunk_size"
+        self.dropout_module = nn.Dropout(self.dropout)
         self.q_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
                                kernel_init=xavier_half, name="q_proj")
         self.k_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
@@ -270,8 +271,7 @@ class CausalEVAttention(nn.Module):
 
         attn = jax.nn.softmax(
             jnp.concatenate([log_qk, approx_cv], axis=-1), axis=-1)
-        if self.dropout > 0.0:
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = self.dropout_module(attn, deterministic=deterministic)
         local_attn = attn[..., :local_len]
         ra_attn = attn[..., local_len:]
         output_local = jnp.einsum("bhwij,bhwjd->bhwid", local_attn, w_v)

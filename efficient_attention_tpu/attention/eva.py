@@ -33,6 +33,15 @@ from efficient_attention_tpu.ops.rpe import t5_bucket_table
 Array = jax.Array
 
 
+def _on_tpu() -> bool:
+    """True when the default device is a TPU (incl. tunneled 'axon' TPUs)."""
+    try:
+        dev = jax.devices()[0]
+        return dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    except Exception:
+        return False
+
+
 class T5RelativePositionBias(nn.Module):
     """Bucketed per-head relative position bias (``eva.py:15-65``).
 
@@ -76,6 +85,10 @@ class EVA(LocalAttention):
     adaptive_proj: str = "default"
     num_landmarks: int = 49
     use_t5_rpe: bool = False
+    # 'auto' uses the fused Pallas kernel on TPU when the layout allows
+    # (no padding mask, no halo); 'xla' forces the reference einsum path;
+    # 'pallas' forces the kernel (errors if unsupported).
+    impl: str = "auto"
 
     def setup(self):
         self._setup_projections()
@@ -147,6 +160,7 @@ class EVA(LocalAttention):
 
         q, k, v = self.proj_and_split_heads(x)
 
+        padding_free = key_padding_mask is None
         if key_padding_mask is None:
             key_padding_mask = jnp.zeros((B, N), dtype=bool)
         kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]  # [b, 1, n, 1]
@@ -198,6 +212,53 @@ class EVA(LocalAttention):
         beta = jnp.einsum(
             "...cj,...cjd->...cd", jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v
         )
+
+        # ---- fused Pallas kernel path (local + chunk joint softmax in VMEM;
+        # see ops/pallas/eva_kernel.py). Bit-compatible with the XLA path
+        # below when no padding / halo is involved. ----
+        from efficient_attention_tpu.ops.pallas.eva_kernel import supports_shapes
+
+        use_pallas = (
+            self.impl in ("auto", "pallas")
+            and self.ext_size == 0
+            and padding_free
+            and self.attn_drop == 0.0
+            and _on_tpu()
+            and supports_shapes(B, w_q.shape[2], w_q.shape[3])
+        )
+        if self.impl == "pallas" and not use_pallas:
+            raise ValueError(
+                "impl='pallas' requires TPU, no halo, and no padding mask")
+        if use_pallas:
+            from efficient_attention_tpu.ops.pallas.eva_kernel import (
+                eva_attention_fused,
+            )
+
+            if self.use_t5_rpe:
+                i = j = w_q.shape[-2]
+                bias = self.rel_pos_bias(i, j)[0, :, 0]  # [H, S, S]
+            elif self.rpe_enabled:
+                w, e = self.window_size, self.ext_size
+                if self.attn_2d:
+                    bias = jnp.take(
+                        self.local_relative_position_bias_table,
+                        self._rpe_index, axis=0,
+                    ).reshape(w * w, w * w, self.num_heads)
+                    bias = jnp.transpose(bias, (2, 0, 1))
+                else:
+                    bias = self.local_relative_position_bias_table
+            else:
+                bias = None
+            output = eva_attention_fused(
+                w_q, w_k, w_v, rf_k_bar, beta, self.scale, bias)
+            output = self.window_merge(output, seq_shape)
+            x = jnp.swapaxes(output, 1, 2).reshape(
+                (B,) + tuple(seq_shape) + (C,))
+            x = self.proj(x)
+            x = x.reshape(B, N, C)[:, :orig_n]
+            if self.attn_2d:
+                x = x.reshape((B,) + tuple(seq_shape) + (C,))
+            return self.proj_dropout(x, deterministic=deterministic)
 
         # approx expectation of CVs (``eva.py:200``)
         rfa_chunk = jnp.einsum("...wid,...cd->...wic", w_q, self.scale * rf_k_bar)

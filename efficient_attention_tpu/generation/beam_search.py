@@ -1,0 +1,200 @@
+"""Beam-search sequence generation with fixed-shape pytree decode state.
+
+Replaces ``fairseq/sequence_generator.py`` (``SequenceGenerator._generate``,
+``sequence_generator.py:191-569``) the TPU way: the whole beam loop is a
+``lax.scan`` over decode steps with static shapes; incremental states
+(softmax KV caches or causal-EVA window/chunk states) are pytrees reordered
+by a batched gather — the analogue of ``reorder_incremental_state``
+(``causal_eva.py:835-849``).
+
+Supports beam search with length penalty (the MT recipe's ``--beam 4
+--lenpen 0.6``, ``main.sh:170-172``) and greedy/sampling as degenerate
+cases.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+NEG_INF = -1e9
+
+
+class BeamState(NamedTuple):
+    tokens: Array          # [B, K, L] emitted tokens (starts with eos/bos)
+    log_probs: Array       # [B, K] cumulative alive scores
+    finished_tokens: Array  # [B, K, L]
+    finished_scores: Array  # [B, K] length-penalized
+    finished_mask: Array   # [B, K] bool
+    cache: Any             # decode-state pytree, batch dim = B*K
+    step: Array            # scalar
+
+
+def _gather_beams(tree: Any, indices: Array, batch: int, beams: int) -> Any:
+    """Reorder a [B*K, ...] pytree by per-batch beam indices [B, K]."""
+    flat_idx = (jnp.arange(batch)[:, None] * beams + indices).reshape(-1)
+
+    def take(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch * beams:
+            return x[flat_idx]
+        return x
+
+    return jax.tree_util.tree_map(take, tree)
+
+
+def _length_penalty(length: Array, alpha: float) -> Array:
+    # fairseq/GNMT: ((5 + len) / 6) ** alpha
+    return ((5.0 + length) / 6.0) ** alpha
+
+
+class SequenceGenerator:
+    """Batched beam search over a step function.
+
+    ``step_fn(cache, tokens[B*K, 1], step) -> (log_probs[B*K, V], cache)``
+    must be jit-compatible with fixed shapes.
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        init_cache_fn: Callable[[int, int], Any],
+        vocab_size: int,
+        beam_size: int = 4,
+        max_len: int = 256,
+        len_penalty: float = 1.0,
+        pad: int = 1,
+        eos: int = 2,
+        bos: Optional[int] = None,
+    ):
+        self.step_fn = step_fn
+        self.init_cache_fn = init_cache_fn
+        self.vocab_size = vocab_size
+        self.beam_size = beam_size
+        self.max_len = max_len
+        self.len_penalty = len_penalty
+        self.pad, self.eos = pad, eos
+        self.bos = eos if bos is None else bos
+
+    def _init_state(self, batch: int) -> BeamState:
+        K, L = self.beam_size, self.max_len
+        tokens = jnp.full((batch, K, L + 1), self.pad, jnp.int32)
+        tokens = tokens.at[:, :, 0].set(self.bos)
+        log_probs = jnp.tile(
+            jnp.array([0.0] + [NEG_INF] * (K - 1)), (batch, 1))
+        return BeamState(
+            tokens=tokens,
+            log_probs=log_probs,
+            finished_tokens=tokens,
+            finished_scores=jnp.full((batch, K), NEG_INF),
+            finished_mask=jnp.zeros((batch, K), bool),
+            cache=self.init_cache_fn(batch * K, L + 1),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def generate(self, batch: int) -> Tuple[Array, Array]:
+        """Run the full beam loop; returns (tokens [B, K, L+1],
+        scores [B, K]) sorted best-first."""
+        K, V = self.beam_size, self.vocab_size
+        state = self._init_state(batch)
+
+        def cond(state: BeamState):
+            best_alive = jnp.max(
+                state.log_probs / _length_penalty(self.max_len, self.len_penalty),
+                axis=1)
+            worst_fin = jnp.min(
+                jnp.where(state.finished_mask, state.finished_scores, NEG_INF),
+                axis=1)
+            all_done = jnp.all(
+                jnp.all(state.finished_mask, axis=1) & (worst_fin >= best_alive))
+            return (state.step < self.max_len) & ~all_done
+
+        def body(state: BeamState) -> BeamState:
+            cur = jax.lax.dynamic_slice_in_dim(
+                state.tokens, state.step, 1, axis=2)  # [B, K, 1]
+            logp, cache = self.step_fn(
+                state.cache, cur.reshape(batch * K, 1), state.step)
+            logp = logp.reshape(batch, K, V)
+            logp = jax.nn.log_softmax(logp, axis=-1) \
+                if not _is_normalized(logp) else logp
+            cand = state.log_probs[..., None] + logp  # [B, K, V]
+
+            # candidates ending in eos become finished hypotheses
+            step_len = state.step + 1
+            eos_scores = cand[:, :, self.eos] / _length_penalty(
+                step_len.astype(jnp.float32), self.len_penalty)
+            # merge into finished set (keep top-K of old + new)
+            fin_scores = jnp.concatenate(
+                [jnp.where(state.finished_mask, state.finished_scores,
+                           NEG_INF),
+                 eos_scores], axis=1)  # [B, 2K]
+            eos_tokens = jax.lax.dynamic_update_slice_in_dim(
+                state.tokens, jnp.full((batch, K, 1), self.eos, jnp.int32),
+                state.step + 1, axis=2)
+            fin_tokens = jnp.concatenate(
+                [state.finished_tokens, eos_tokens], axis=1)  # [B, 2K, L]
+            top_fin, fin_idx = jax.lax.top_k(fin_scores, K)
+            new_finished_tokens = jnp.take_along_axis(
+                fin_tokens, fin_idx[..., None], axis=1)
+            new_finished_mask = top_fin > NEG_INF / 2
+
+            # alive candidates: mask out eos, take top-K over K*V
+            cand = cand.at[:, :, self.eos].set(NEG_INF)
+            flat = cand.reshape(batch, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            beam_idx = top_idx // V
+            tok_idx = top_idx % V
+            new_tokens = jnp.take_along_axis(
+                state.tokens, beam_idx[..., None], axis=1)
+            new_tokens = jax.lax.dynamic_update_slice_in_dim(
+                new_tokens, tok_idx[..., None].astype(jnp.int32),
+                state.step + 1, axis=2)
+            cache = _gather_beams(cache, beam_idx, batch, K)
+
+            return BeamState(
+                tokens=new_tokens,
+                log_probs=top_scores,
+                finished_tokens=new_finished_tokens,
+                finished_scores=jnp.where(new_finished_mask, top_fin, NEG_INF),
+                finished_mask=new_finished_mask,
+                cache=cache,
+                step=state.step + 1,
+            )
+
+        state = jax.lax.while_loop(cond, body, state)
+        # fall back to alive beams when nothing finished
+        alive_scores = state.log_probs / _length_penalty(
+            jnp.maximum(state.step, 1).astype(jnp.float32), self.len_penalty)
+        any_fin = jnp.any(state.finished_mask, axis=1, keepdims=True)
+        scores = jnp.where(any_fin, state.finished_scores, alive_scores)
+        tokens = jnp.where(any_fin[..., None], state.finished_tokens,
+                           state.tokens)
+        order = jnp.argsort(-scores, axis=1)
+        tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        return tokens, scores
+
+
+def _is_normalized(logp: Array) -> bool:
+    return False  # step_fn returns raw logits by convention; always normalize
+
+
+def greedy_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, pad=1):
+    """Greedy decoding as a lax.scan (used by eval/smoke paths)."""
+    cache = init_cache_fn(batch, max_len + 1)
+
+    def body(carry, step):
+        tokens, cache, done = carry
+        logp, cache = step_fn(cache, tokens, step)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)[:, None]
+        nxt = jnp.where(done[:, None], pad, nxt)
+        done = done | (nxt[:, 0] == eos)
+        return (nxt, cache, done), nxt[:, 0]
+
+    init_tokens = jnp.full((batch, 1), bos, jnp.int32)
+    done0 = jnp.zeros((batch,), bool)
+    (_, _, _), outs = jax.lax.scan(
+        body, (init_tokens, cache, done0), jnp.arange(max_len))
+    return jnp.swapaxes(outs, 0, 1)  # [B, L]

@@ -1,0 +1,554 @@
+"""Transformer encoder-decoder (MT) and decoder-only LM, batch-first.
+
+Compact TPU-native replacement for the reference's fairseq fork model stack
+(``fairseq/models/transformer/*``, ``fairseq/models/transformer_lm.py``) with
+the fork's signature feature: factory-built efficient attention in the
+encoder (``fairseq/modules/efficient_attention.py``,
+``transformer_layer.py:86-95``) and ``causal_eva`` | ``softmax`` decoder
+self-attention (``transformer_layer.py:295-321``).  Cross-attention stays
+exact softmax (``transformer_layer.py:323-331``).
+
+Decoding uses fixed-shape pytree caches (KV cache for softmax, EvaDecodeState
+for causal EVA) carried through ``lax.scan`` / beam search.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import field
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from efficient_attention_tpu import AttentionFactory
+from efficient_attention_tpu.attention import CausalEVAttention, EvaDecodeState
+from efficient_attention_tpu.attention.base import MASK_VAL
+
+Array = jax.Array
+
+
+def sinusoidal_positions(max_len: int, dim: int, offset: int = 2) -> np.ndarray:
+    """fairseq-style sinusoidal embeddings (pad-offset positions)."""
+    half = dim // 2
+    emb = math.log(10000) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb)
+    pos = np.arange(offset, max_len + offset)[:, None] * freqs[None, :]
+    out = np.concatenate([np.sin(pos), np.cos(pos)], axis=1)
+    if dim % 2 == 1:
+        out = np.concatenate([out, np.zeros((max_len, 1))], axis=1)
+    return out.astype(np.float32)
+
+
+class CrossAttention(nn.Module):
+    """Exact softmax encoder-decoder attention with static encoder kv."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @property
+    def head_dim(self):
+        return self.embed_dim // self.num_heads
+
+    def setup(self):
+        init = nn.initializers.xavier_uniform()
+        self.q_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.k_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.v_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.out_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.attn_dropout = nn.Dropout(self.dropout)
+
+    def _split(self, x, B):
+        return jnp.swapaxes(
+            x.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
+
+    def __call__(self, x, enc_out, enc_padding_mask=None, deterministic=True):
+        B = x.shape[0]
+        q = self._split(self.q_proj(x), B)
+        k = self._split(self.k_proj(enc_out), B)
+        v = self._split(self.v_proj(enc_out), B)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * self.head_dim**-0.5
+        if enc_padding_mask is not None:
+            logits = jnp.where(
+                enc_padding_mask[:, None, None, :].astype(bool), MASK_VAL, logits)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.embed_dim)
+        return self.out_proj(out)
+
+
+class KVCache(NamedTuple):
+    """Fixed-capacity decoder KV cache."""
+
+    k: Array  # [B, H, L, D]
+    v: Array
+    pos: Array  # scalar
+
+
+class CausalSelfAttention(nn.Module):
+    """Exact softmax causal self-attention with a fixed-shape decode cache
+    (the decoder baseline, ``fairseq MultiheadAttention`` semantics)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @property
+    def head_dim(self):
+        return self.embed_dim // self.num_heads
+
+    def setup(self):
+        init = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
+        self.q_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.k_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.v_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        self.out_proj = nn.Dense(self.embed_dim,
+                                 kernel_init=nn.initializers.xavier_uniform())
+        self.attn_dropout = nn.Dropout(self.dropout)
+
+    def _split(self, x, B):
+        return jnp.swapaxes(
+            x.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
+
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        B, T, _ = x.shape
+        q = self._split(self.q_proj(x), B)
+        k = self._split(self.k_proj(x), B)
+        v = self._split(self.v_proj(x), B)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * self.head_dim**-0.5
+        causal = jnp.triu(jnp.ones((T, T), bool), 1)
+        logits = jnp.where(causal[None, None], MASK_VAL, logits)
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :].astype(bool), MASK_VAL, logits)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, T, self.embed_dim)
+        return self.out_proj(out)
+
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
+        shape = (batch_size, self.num_heads, max_len, self.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((), jnp.int32))
+
+    def decode_step(self, state: KVCache, x):
+        B = x.shape[0]
+        q = self._split(self.q_proj(x), B)
+        k = self._split(self.k_proj(x), B)
+        v = self._split(self.v_proj(x), B)
+        ks = jax.lax.dynamic_update_slice_in_dim(state.k, k, state.pos, axis=2)
+        vs = jax.lax.dynamic_update_slice_in_dim(state.v, v, state.pos, axis=2)
+        logits = jnp.einsum("bhod,bhsd->bhos", q, ks,
+                            preferred_element_type=jnp.float32)
+        logits = logits * self.head_dim**-0.5
+        valid = jnp.arange(ks.shape[2]) <= state.pos
+        logits = jnp.where(valid[None, None, None], logits, MASK_VAL)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhos,bhsd->bhod", attn, vs)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, 1, self.embed_dim)
+        return self.out_proj(out), KVCache(ks, vs, state.pos + 1)
+
+
+class EncoderLayer(nn.Module):
+    """Pre/post-LN encoder layer with factory-built efficient self-attention
+    (the fork's ``EfficientAttention`` bridge, ``efficient_attention.py:54-131``
+    — our stack is batch-first so no transposes are needed)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    attn_name: str = "softmax"
+    attn_args: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    activation_dropout: float = 0.0
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        attn = AttentionFactory.build_attention(
+            self.attn_name,
+            {**self.attn_args, "dim": self.embed_dim,
+             "num_heads": self.num_heads, "attn_drop": self.dropout,
+             "proj_drop": 0.0})
+        ln1, ln2 = nn.LayerNorm(), nn.LayerNorm()
+        residual = x
+        if self.normalize_before:
+            x = ln1(x)
+        x = attn(x, key_padding_mask=key_padding_mask,
+                 deterministic=deterministic)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = ln1(x)
+        residual = x
+        if self.normalize_before:
+            x = ln2(x)
+        x = nn.Dense(self.ffn_dim)(x)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(self.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.embed_dim)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = ln2(x)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Decoder layer: {causal_eva | softmax} self-attn + softmax cross-attn
+    (``transformer_layer.py:295-331``)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    attn_name: str = "softmax"
+    attn_args: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    activation_dropout: float = 0.0
+    normalize_before: bool = False
+    has_cross: bool = True
+
+    def setup(self):
+        if self.attn_name == "causal_eva":
+            self.self_attn = CausalEVAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout, causal=True,
+                **{k: v for k, v in self.attn_args.items()
+                   if k in ("window_size", "overlap_window", "num_chunks",
+                            "chunk_size", "adaptive_proj", "use_t5_rpe")})
+        elif self.attn_name == "softmax":
+            self.self_attn = CausalSelfAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout)
+        else:
+            raise NotImplementedError(
+                f"decoder attention {self.attn_name} (reference supports "
+                "causal_eva and softmax, transformer_layer.py:295-321)")
+        self.ln_self = nn.LayerNorm()
+        if self.has_cross:
+            self.cross_attn = CrossAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout)
+            self.ln_cross = nn.LayerNorm()
+        self.fc1 = nn.Dense(self.ffn_dim)
+        self.fc2 = nn.Dense(self.embed_dim)
+        self.ln_ffn = nn.LayerNorm()
+        self.drop = nn.Dropout(self.dropout)
+        self.act_drop = nn.Dropout(self.activation_dropout)
+
+    def _self_attn_full(self, x, key_padding_mask, deterministic):
+        if self.attn_name == "causal_eva":
+            return self.self_attn(x, key_padding_mask=key_padding_mask,
+                                  deterministic=deterministic)
+        return self.self_attn(x, key_padding_mask=key_padding_mask,
+                              deterministic=deterministic)
+
+    def __call__(self, x, enc_out=None, enc_padding_mask=None,
+                 self_padding_mask=None, deterministic=True):
+        residual = x
+        if self.normalize_before:
+            x = self.ln_self(x)
+        x = self._self_attn_full(x, self_padding_mask, deterministic)
+        x = self.drop(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.ln_self(x)
+        if self.has_cross and enc_out is not None:
+            residual = x
+            if self.normalize_before:
+                x = self.ln_cross(x)
+            x = self.cross_attn(x, enc_out, enc_padding_mask,
+                                deterministic=deterministic)
+            x = self.drop(x, deterministic=deterministic)
+            x = residual + x
+            if not self.normalize_before:
+                x = self.ln_cross(x)
+        residual = x
+        if self.normalize_before:
+            x = self.ln_ffn(x)
+        x = jax.nn.relu(self.fc1(x))
+        x = self.act_drop(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.drop(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.ln_ffn(x)
+        return x
+
+    # ----- incremental decoding -----
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
+        return self.self_attn.init_decode_state(batch_size, max_len, dtype)
+
+    def decode_step(self, state, x, enc_out=None, enc_padding_mask=None):
+        residual = x
+        if self.normalize_before:
+            x = self.ln_self(x)
+        x, state = self.self_attn.decode_step(state, x)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.ln_self(x)
+        if self.has_cross and enc_out is not None:
+            residual = x
+            if self.normalize_before:
+                x = self.ln_cross(x)
+            x = self.cross_attn(x, enc_out, enc_padding_mask,
+                                deterministic=True)
+            x = residual + x
+            if not self.normalize_before:
+                x = self.ln_cross(x)
+        residual = x
+        if self.normalize_before:
+            x = self.ln_ffn(x)
+        x = self.fc2(jax.nn.relu(self.fc1(x)))
+        x = residual + x
+        if not self.normalize_before:
+            x = self.ln_ffn(x)
+        return x, state
+
+
+class TransformerEncoder(nn.Module):
+    """Embed -> layers -> (LN) (``fairseq TransformerEncoder``)."""
+
+    vocab_size: int
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    attn_name: str = "softmax"
+    attn_args: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    max_len: int = 1024
+    normalize_before: bool = False
+    pad_idx: int = 1
+    learned_pos: bool = False
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.vocab_size, self.embed_dim,
+            embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
+        self.embed_scale = math.sqrt(self.embed_dim)
+        self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
+        self.embed_dropout = nn.Dropout(self.dropout)
+        self.layers = [
+            EncoderLayer(
+                embed_dim=self.embed_dim, ffn_dim=self.ffn_dim,
+                num_heads=self.num_heads, attn_name=self.attn_name,
+                attn_args=dict(self.attn_args), dropout=self.dropout,
+                normalize_before=self.normalize_before, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        if self.normalize_before:
+            self.final_ln = nn.LayerNorm()
+
+    def __call__(self, src_tokens, deterministic=True):
+        B, T = src_tokens.shape
+        padding_mask = src_tokens == self.pad_idx
+        x = self.embed_tokens(src_tokens) * self.embed_scale
+        x = x + self._pos[:T][None]
+        x = self.embed_dropout(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, key_padding_mask=padding_mask,
+                      deterministic=deterministic)
+        if self.normalize_before:
+            x = self.final_ln(x)
+        return x, padding_mask
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder with optional cross-attention (LM when ``has_cross=False``)."""
+
+    vocab_size: int
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    attn_name: str = "softmax"
+    attn_args: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    max_len: int = 1024
+    normalize_before: bool = False
+    pad_idx: int = 1
+    has_cross: bool = True
+    share_input_output_embed: bool = True
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.vocab_size, self.embed_dim,
+            embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
+        self.embed_scale = math.sqrt(self.embed_dim)
+        self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
+        self.embed_dropout = nn.Dropout(self.dropout)
+        self.layers = [
+            DecoderLayer(
+                embed_dim=self.embed_dim, ffn_dim=self.ffn_dim,
+                num_heads=self.num_heads, attn_name=self.attn_name,
+                attn_args=dict(self.attn_args), dropout=self.dropout,
+                normalize_before=self.normalize_before,
+                has_cross=self.has_cross, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        if self.normalize_before:
+            self.final_ln = nn.LayerNorm()
+        if not self.share_input_output_embed:
+            self.output_projection = nn.Dense(self.vocab_size, use_bias=False)
+
+    def _output_layer(self, x):
+        if self.share_input_output_embed:
+            return x @ self.embed_tokens.embedding.T
+        return self.output_projection(x)
+
+    def _embed(self, tokens, pos_offset=0):
+        T = tokens.shape[1]
+        x = self.embed_tokens(tokens) * self.embed_scale
+        pos = jax.lax.dynamic_slice_in_dim(self._pos, pos_offset, T, axis=0)
+        return x + pos[None]
+
+    def __call__(self, prev_output_tokens, enc_out=None, enc_padding_mask=None,
+                 deterministic=True, features_only=False):
+        padding_mask = prev_output_tokens == self.pad_idx
+        x = self._embed(prev_output_tokens)
+        x = self.embed_dropout(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, enc_out=enc_out, enc_padding_mask=enc_padding_mask,
+                      self_padding_mask=padding_mask,
+                      deterministic=deterministic)
+        if self.normalize_before:
+            x = self.final_ln(x)
+        if features_only:
+            return x
+        return self._output_layer(x)
+
+    # ----- incremental decoding -----
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
+        return [layer.init_decode_state(batch_size, max_len, dtype)
+                for layer in self.layers]
+
+    def decode_step(self, states, tokens, pos, enc_out=None,
+                    enc_padding_mask=None):
+        """One decode step. tokens: [B, 1]; pos: scalar step index."""
+        x = self._embed(tokens, pos_offset=pos)
+        new_states = []
+        for layer, st in zip(self.layers, states):
+            x, st = layer.decode_step(st, x, enc_out=enc_out,
+                                      enc_padding_mask=enc_padding_mask)
+            new_states.append(st)
+        if self.normalize_before:
+            x = self.final_ln(x)
+        return self._output_layer(x), new_states
+
+
+class TransformerModel(nn.Module):
+    """Encoder-decoder MT model (``transformer_wmt_en_de`` shape:
+    6+6 layers, d=512, ffn=2048, 8 heads, ``transformer_legacy.py:237-238``)."""
+
+    src_vocab_size: int
+    tgt_vocab_size: int
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    attn_name_encoder: str = "softmax"
+    attn_args_encoder: Dict[str, Any] = field(default_factory=dict)
+    attn_name_decoder: str = "softmax"
+    attn_args_decoder: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    max_len: int = 1024
+    pad_idx: int = 1
+
+    def setup(self):
+        self.encoder = TransformerEncoder(
+            vocab_size=self.src_vocab_size, embed_dim=self.embed_dim,
+            ffn_dim=self.ffn_dim, num_layers=self.num_layers,
+            num_heads=self.num_heads, attn_name=self.attn_name_encoder,
+            attn_args=dict(self.attn_args_encoder), dropout=self.dropout,
+            max_len=self.max_len, pad_idx=self.pad_idx)
+        self.decoder = TransformerDecoder(
+            vocab_size=self.tgt_vocab_size, embed_dim=self.embed_dim,
+            ffn_dim=self.ffn_dim, num_layers=self.num_layers,
+            num_heads=self.num_heads, attn_name=self.attn_name_decoder,
+            attn_args=dict(self.attn_args_decoder), dropout=self.dropout,
+            max_len=self.max_len, pad_idx=self.pad_idx, has_cross=True)
+
+    def __call__(self, src_tokens, prev_output_tokens, deterministic=True):
+        enc_out, enc_padding = self.encoder(src_tokens,
+                                            deterministic=deterministic)
+        return self.decoder(prev_output_tokens, enc_out=enc_out,
+                            enc_padding_mask=enc_padding,
+                            deterministic=deterministic)
+
+    def encode(self, src_tokens):
+        return self.encoder(src_tokens, deterministic=True)
+
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
+        return self.decoder.init_decode_state(batch_size, max_len, dtype)
+
+    def decode_step(self, states, tokens, pos, enc_out, enc_padding_mask):
+        return self.decoder.decode_step(states, tokens, pos, enc_out,
+                                        enc_padding_mask)
+
+
+class TransformerLM(nn.Module):
+    """Decoder-only LM (``transformer_lm_wiki103`` shape: 16 layers, d=1024,
+    ffn=4096, 8 heads, adaptive input/softmax in the full recipe —
+    ``transformer_lm.py:406``; adaptive softmax lives in
+    ``models/adaptive_softmax.py`` here)."""
+
+    vocab_size: int
+    embed_dim: int = 1024
+    ffn_dim: int = 4096
+    num_layers: int = 16
+    num_heads: int = 8
+    attn_name: str = "softmax"
+    attn_args: Dict[str, Any] = field(default_factory=dict)
+    dropout: float = 0.1
+    max_len: int = 3072
+    pad_idx: int = 1
+    adaptive_cutoffs: Optional[Tuple[int, ...]] = None
+
+    def setup(self):
+        self.decoder = TransformerDecoder(
+            vocab_size=self.vocab_size, embed_dim=self.embed_dim,
+            ffn_dim=self.ffn_dim, num_layers=self.num_layers,
+            num_heads=self.num_heads, attn_name=self.attn_name,
+            attn_args=dict(self.attn_args), dropout=self.dropout,
+            max_len=self.max_len, pad_idx=self.pad_idx, has_cross=False,
+            normalize_before=True)
+        if self.adaptive_cutoffs:
+            from efficient_attention_tpu.models.adaptive_softmax import (
+                AdaptiveSoftmax,
+            )
+
+            self.adaptive_softmax = AdaptiveSoftmax(
+                vocab_size=self.vocab_size, input_dim=self.embed_dim,
+                cutoffs=tuple(self.adaptive_cutoffs))
+
+    def __call__(self, tokens, deterministic=True, features_only=False):
+        feats = self.decoder(tokens, deterministic=deterministic,
+                             features_only=True)
+        if features_only:
+            return feats
+        if self.adaptive_cutoffs:
+            return self.adaptive_softmax.log_prob(feats)
+        return self.decoder._output_layer(feats)
+
+    def loss(self, tokens, targets, deterministic=True):
+        """Token-level NLL [B, T] (adaptive or full softmax)."""
+        feats = self.decoder(tokens, deterministic=deterministic,
+                             features_only=True)
+        if self.adaptive_cutoffs:
+            return self.adaptive_softmax.nll(feats, targets)
+        logits = self.decoder._output_layer(feats)
+        return -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1), targets[..., None], axis=-1)[..., 0]
+
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
+        return self.decoder.init_decode_state(batch_size, max_len, dtype)
+
+    def decode_step(self, states, tokens, pos):
+        return self.decoder.decode_step(states, tokens, pos)

@@ -1,0 +1,91 @@
+"""Fused EVA Pallas kernel vs the pure-XLA reference path.
+
+Runs the kernel in interpreter mode on the CPU mesh (semantic check); the
+Mosaic-lowered path is exercised on real TPU by bench.py and the standalone
+scripts/tpu_kernel_check.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_attention_tpu.attention import EVA
+from efficient_attention_tpu.ops.pallas.eva_kernel import eva_attention_fused
+from efficient_attention_tpu.ops.random_features import prm_projection
+from efficient_attention_tpu.ops import windows as W
+
+B, H, D = 2, 3, 16
+
+
+def _reference_joint_softmax(w_q, w_k, w_v, rf_k_bar, beta, scale, bias):
+    """XLA reference of the fused computation (``eva.py:200-227``)."""
+    local = jnp.einsum("bhgid,bhgjd->bhgij", w_q, w_k) * scale
+    if bias is not None:
+        local = local + bias[None, :, None]
+    chunk = jnp.einsum("bhgid,bhcd->bhgic", w_q, scale * rf_k_bar)
+    attn = jax.nn.softmax(jnp.concatenate([local, chunk], -1), -1)
+    s = local.shape[-1]
+    return (jnp.einsum("bhgij,bhgjd->bhgid", attn[..., :s], w_v)
+            + jnp.einsum("bhgic,bhcd->bhgid", attn[..., s:], beta))
+
+
+@pytest.mark.parametrize("g,s,c", [(8, 16, 4), (4, 8, 8)])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_kernel_matches_reference(rng, g, s, c, with_bias):
+    keys = jax.random.split(rng, 6)
+    shape = (B, H, g, s, D)
+    w_q = jax.random.normal(keys[0], shape)
+    w_k = jax.random.normal(keys[1], shape)
+    w_v = jax.random.normal(keys[2], shape)
+    rf = jax.random.normal(keys[3], (B, H, c, D))
+    beta = jax.random.normal(keys[4], (B, H, c, D))
+    bias = jax.random.normal(keys[5], (H, s, s)) if with_bias else None
+    scale = D**-0.5
+    ref = _reference_joint_softmax(w_q, w_k, w_v, rf, beta, scale, bias)
+    out = eva_attention_fused(w_q, w_k, w_v, rf, beta, scale, bias,
+                              interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_eva_module_pallas_matches_xla(rng):
+    """End-to-end: EVA module with impl differences only in the kernel."""
+    C_dim = 48
+    x = jax.random.normal(rng, (B, 16, 16, C_dim))
+    m_xla = EVA(dim=C_dim, num_heads=H, window_size=4, num_landmarks=4,
+                attn_2d=True, use_rpe=True, impl="xla")
+    params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+    out_xla = m_xla.apply(params, x, deterministic=True)
+
+    # manually replicate the pallas branch in interpret mode
+    m = m_xla
+    bound = m.bind(params)
+    q, k, v = bound.proj_and_split_heads(x.reshape(B, 256, C_dim))
+    seq_shape = (16, 16)
+    w_q = bound.window_partition(q, seq_shape, ext_window_size=0)
+    w_k = bound.window_partition(k, seq_shape, ext_window_size=0)
+    w_v = bound.window_partition(v, seq_shape, ext_window_size=0)
+    rf_win = 8  # sqrt(256 // 4) = 8
+    rf_w_k = bound.window_partition(k, seq_shape, window_size=rf_win,
+                                    ext_window_size=0)
+    rf_w_q = bound.window_partition(q, seq_shape, window_size=rf_win,
+                                    ext_window_size=0)
+    rf_w_v = bound.window_partition(v, seq_shape, window_size=rf_win,
+                                    ext_window_size=0)
+    rf_q_bar = bound.adaptive_mu_q(jnp.mean(rf_w_q, axis=-2))
+    rf_k_bar = bound.adaptive_mu_k(jnp.mean(rf_w_k, axis=-2))
+    mu = 0.5 * (rf_q_bar + rf_k_bar)
+    log_proj = prm_projection(rf_w_k, mu[..., None, :], normalize=False)[..., 0, :]
+    beta = jnp.einsum("...cj,...cjd->...cd",
+                      jax.nn.softmax(log_proj, -1), rf_w_v)
+    w = 4
+    bias = jnp.take(
+        params["params"]["local_relative_position_bias_table"],
+        jnp.asarray(bound._rpe_index), axis=0,
+    ).reshape(w * w, w * w, H)
+    bias = jnp.transpose(bias, (2, 0, 1))
+    out_k = eva_attention_fused(w_q, w_k, w_v, rf_k_bar, beta, bound.scale,
+                                bias, interpret=True)
+    out_k = bound.window_merge(out_k, seq_shape)
+    out_k = jnp.swapaxes(out_k, 1, 2).reshape(B, 16, 16, C_dim)
+    out_k = bound.proj(out_k)
+    np.testing.assert_allclose(out_k, out_xla, atol=5e-5, rtol=1e-4)
