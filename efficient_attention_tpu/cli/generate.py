@@ -1,0 +1,148 @@
+"""Beam-search generation + BLEU — ``fairseq_cli/generate.py`` equivalent.
+
+Loads (and optionally averages, ``scripts/average_checkpoints.py`` +
+``main.sh:160-164``) MT checkpoints, runs batched beam search (beam 4,
+lenpen 0.6 per the WMT recipe) and reports corpus BLEU.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from efficient_attention_tpu.cli.train_mt import build_model, build_parser, load_pairs
+
+
+def parse_args(argv=None):
+    from efficient_attention_tpu import AttentionFactory, NestedNamespace
+
+    parser = build_parser()
+    parser.add_argument("--path", default=None, help="checkpoint dir")
+    parser.add_argument("--beam", type=int, default=4)
+    parser.add_argument("--lenpen", type=float, default=0.6)
+    parser.add_argument("--max-len-b", type=int, default=64)
+    parser.add_argument("--gen-batch", type=int, default=8)
+    parser.add_argument("--num-avg-checkpoints", type=int, default=1)
+    parser.add_argument("--gen-subset-size", type=int, default=32)
+    known, _ = parser.parse_known_args(argv)
+    parser = AttentionFactory.add_attn_specific_args(
+        parser, known.attn_name_encoder, struct_name="attn_args_encoder",
+        prefix="encoder-attn")
+    parser = AttentionFactory.add_attn_specific_args(
+        parser, known.attn_name_decoder, struct_name="attn_args_decoder",
+        prefix="decoder-attn")
+    parser.add_argument("--help", action="help")
+    return parser.parse_args(argv, namespace=NestedNamespace())
+
+
+def load_params(args, model, template_params):
+    """Load the latest checkpoint; with --num-avg-checkpoints N > 1, average
+    the last N (``scripts/average_checkpoints.py``)."""
+    import jax
+
+    from efficient_attention_tpu.training import (
+        CheckpointManager,
+        TrainState,
+        average_checkpoints,
+        make_optimizer,
+    )
+
+    if not args.path:
+        return template_params
+    tx = make_optimizer(args.optimizer, lambda s: 1e-4, weight_decay=0.0,
+                        clip_grad=args.clip_norm or None,
+                        params_for_mask=template_params)
+    template = TrainState.create(model.apply, template_params, tx)
+    mgr = CheckpointManager(os.path.abspath(args.path))
+    steps = sorted(mgr.manager.all_steps())
+    if not steps:
+        return template_params
+    take = steps[-args.num_avg_checkpoints:]
+    param_sets = []
+    for s in take:
+        restored = mgr.restore(template, step=s)
+        param_sets.append(jax.device_get(restored.params))
+    print(f"| averaged {len(param_sets)} checkpoints: {take}")
+    if len(param_sets) == 1:
+        return param_sets[0]
+    return average_checkpoints(param_sets)
+
+
+def main(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_attention_tpu.data.text_data import collate_tokens
+    from efficient_attention_tpu.generation import SequenceGenerator
+    from efficient_attention_tpu.models.transformer import TransformerModel
+    from efficient_attention_tpu.scoring.bleu import BleuScorer
+
+    src, tgt, sd, td = load_pairs(args)
+    src_vocab = len(sd) if sd else args.dummy_vocab
+    tgt_vocab = len(td) if td else args.dummy_vocab
+    model = build_model(args, src_vocab, tgt_vocab)
+    dummy = jnp.zeros((1, 16), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy, dummy))()
+    params = load_params(args, model, params)
+
+    scorer = BleuScorer()
+    K = args.beam
+    n_out = 0
+    outputs = []
+    ids = list(range(min(len(src), args.gen_subset_size)))
+    for i in range(0, len(ids), args.gen_batch):
+        chunk = ids[i: i + args.gen_batch]
+        src_b = collate_tokens([src[j] for j in chunk], pad_idx=1)
+        B = src_b.shape[0]
+        enc_out, enc_pad = model.apply(params, jnp.asarray(src_b),
+                                       method=TransformerModel.encode)
+        # expand encoder outputs over beams
+        enc_out_k = jnp.repeat(enc_out, K, axis=0)
+        enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
+
+        def step_fn(cache, tokens, step):
+            states, = (cache,)
+            logits, states = model.apply(
+                params, states, tokens, step, enc_out_k, enc_pad_k,
+                method=TransformerModel.decode_step)
+            return logits[:, 0], states
+
+        def init_cache(bk, max_len):
+            return model.apply(params, bk, max_len,
+                               method=TransformerModel.init_decode_state)
+
+        gen = SequenceGenerator(
+            step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
+            max_len=args.max_len_b, len_penalty=args.lenpen)
+        tokens, scores = gen.generate(batch=B)
+        for b, j in enumerate(chunk):
+            hyp = np.asarray(tokens[b, 0, 1:])
+            # trim at eos
+            eos_pos = np.where(hyp == 2)[0]
+            if len(eos_pos):
+                hyp = hyp[: eos_pos[0] + 1]
+            ref = np.asarray(tgt[j])
+            scorer.add(ref.tolist(), hyp.tolist())
+            n_out += 1
+            if td is not None:
+                outputs.append({
+                    "id": int(j),
+                    "hyp": td.string(hyp),
+                    "ref": td.string(ref),
+                    "score": float(scores[b, 0]),
+                })
+    result = {"bleu": scorer.score(), "sentences": n_out,
+              "detail": scorer.result_string()}
+    print("| " + scorer.result_string())
+    print(json.dumps({k: v for k, v in result.items() if k != "detail"}))
+    return result
+
+
+def cli_main(argv=None):
+    return main(parse_args(argv))
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,213 @@
+"""Language-model training CLI — ``fairseq_cli/train.py`` for the LM task.
+
+Reproduces the wiki103 recipe surface (``main.sh:52-83``): causal-EVA or
+softmax decoder attention selected by ``--attn-name-decoder`` with nested
+``--decoder-attn-*`` flags, NAG + cosine(t-mult) or adamw, token-block
+batching, adaptive softmax, update-freq grad accumulation, Orbax
+checkpointing.  ``--dummy-data`` trains on synthetic tokens (the
+``fairseq/benchmark/dummy_lm.py`` analogue) for perf/regression runs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("eatpu-train-lm", add_help=False)
+    p.add_argument("--data", default=None, help="binarized data dir")
+    p.add_argument("--dummy-data", action="store_true")
+    p.add_argument("--dummy-vocab", type=int, default=1000)
+    p.add_argument("--attn-name-decoder", default="softmax",
+                   choices=["softmax", "causal_eva"])
+    p.add_argument("--decoder-embed-dim", type=int, default=1024)
+    p.add_argument("--decoder-ffn-embed-dim", type=int, default=4096)
+    p.add_argument("--decoder-layers", type=int, default=16)
+    p.add_argument("--decoder-attention-heads", type=int, default=8)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--tokens-per-sample", type=int, default=512)
+    p.add_argument("--max-tokens", type=int, default=9216)
+    p.add_argument("--update-freq", type=int, default=1)
+    p.add_argument("--optimizer", default="nag",
+                   choices=["nag", "adamw", "adam", "sgd", "adafactor"])
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--lr-scheduler", default="cosine",
+                   choices=["cosine", "inverse_sqrt", "polynomial"])
+    p.add_argument("--lr-period-updates", type=float, default=270000)
+    p.add_argument("--t-mult", type=float, default=2.0)
+    p.add_argument("--warmup-updates", type=int, default=16000)
+    p.add_argument("--warmup-init-lr", type=float, default=1e-7)
+    p.add_argument("--min-lr", type=float, default=1e-9)
+    p.add_argument("--max-update", type=int, default=286000)
+    p.add_argument("--clip-norm", type=float, default=0.1)
+    p.add_argument("--criterion", default="adaptive_loss",
+                   choices=["adaptive_loss", "cross_entropy"])
+    p.add_argument("--adaptive-cutoffs", default="20000,60000")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save-dir", default="./checkpoints/lm")
+    p.add_argument("--save-interval-updates", type=int, default=1000)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--max-len", type=int, default=3072)
+    return p
+
+
+def parse_args(argv=None):
+    from efficient_attention_tpu import AttentionFactory, NestedNamespace
+
+    parser = build_parser()
+    known, _ = parser.parse_known_args(argv)
+    parser = AttentionFactory.add_attn_specific_args(
+        parser, known.attn_name_decoder, struct_name="attn_args_decoder",
+        prefix="decoder-attn")
+    parser.add_argument("--help", action="help")
+    return parser.parse_args(argv, namespace=NestedNamespace())
+
+
+def load_corpus(args):
+    if args.dummy_data or not args.data:
+        rng = np.random.default_rng(args.seed)
+        vocab_size = args.dummy_vocab
+        tokens = rng.integers(4, vocab_size,
+                              size=args.max_tokens * 64).astype(np.int64)
+        return tokens, None, vocab_size
+    from efficient_attention_tpu.data.dictionary import Dictionary
+    from efficient_attention_tpu.data.indexed_dataset import MMapIndexedDataset
+
+    d = Dictionary.load(os.path.join(args.data, "dict.txt"))
+    ds = MMapIndexedDataset(os.path.join(args.data, "train"))
+    return ds.flat_tokens(), d, len(d)
+
+
+def build_model(args, vocab_size):
+    import argparse as _ap
+
+    from efficient_attention_tpu.config import namespace_to_dict
+    from efficient_attention_tpu.models.transformer import TransformerLM
+
+    attn_args = namespace_to_dict(
+        getattr(args, "attn_args_decoder", _ap.Namespace()))
+    cutoffs = None
+    if args.criterion == "adaptive_loss":
+        cutoffs = tuple(
+            c for c in (int(x) for x in args.adaptive_cutoffs.split(","))
+            if c < vocab_size)
+        if not cutoffs:
+            cutoffs = None
+    return TransformerLM(
+        vocab_size=vocab_size,
+        embed_dim=args.decoder_embed_dim,
+        ffn_dim=args.decoder_ffn_embed_dim,
+        num_layers=args.decoder_layers,
+        num_heads=args.decoder_attention_heads,
+        attn_name=args.attn_name_decoder,
+        attn_args=attn_args,
+        dropout=args.dropout,
+        max_len=args.max_len,
+        adaptive_cutoffs=cutoffs,
+    )
+
+
+def main(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from efficient_attention_tpu.data.text_data import TokenBlockDataset
+    from efficient_attention_tpu.parallel import batch_spec, make_mesh
+    from efficient_attention_tpu.training import (
+        CheckpointManager,
+        MetricLogger,
+        TrainState,
+        cosine_tmult_schedule,
+        inverse_sqrt_schedule,
+        make_optimizer,
+        polynomial_schedule,
+    )
+    from efficient_attention_tpu.training.lm_steps import make_lm_train_step
+
+    tokens, dictionary, vocab_size = load_corpus(args)
+    model = build_model(args, vocab_size)
+    blocks = TokenBlockDataset(tokens, args.tokens_per_sample + 1, pad_idx=1)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=-1)
+    batch_size = max(n_dev, (args.max_tokens // args.tokens_per_sample)
+                     * args.update_freq)
+    batch_size -= batch_size % n_dev
+
+    if args.lr_scheduler == "cosine":
+        schedule = cosine_tmult_schedule(
+            args.lr, args.warmup_updates, int(args.lr_period_updates),
+            t_mult=args.t_mult, min_lr=args.min_lr,
+            warmup_init_lr=args.warmup_init_lr, max_steps=args.max_update)
+    elif args.lr_scheduler == "inverse_sqrt":
+        schedule = inverse_sqrt_schedule(args.lr, args.warmup_updates,
+                                         args.warmup_init_lr)
+    else:
+        schedule = polynomial_schedule(args.lr, args.warmup_updates,
+                                       args.max_update)
+
+    dummy = jnp.zeros((1, args.tokens_per_sample), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(args.seed), dummy))()
+    tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
+                        clip_grad=args.clip_norm, params_for_mask=params)
+    state = TrainState.create(model.apply, params, tx)
+
+    train_step = make_lm_train_step(
+        pad_idx=1, accum_steps=args.update_freq,
+        use_adaptive=model.adaptive_cutoffs is not None)
+    data_sharding = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, P())
+    jit_step = jax.jit(
+        train_step,
+        in_shardings=(repl, data_sharding, data_sharding, None),
+        out_shardings=(repl, None), donate_argnums=(0,))
+    state = jax.device_put(state, repl)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"), keep_last=3,
+                             save_interval_steps=args.save_interval_updates)
+    logger = MetricLogger()
+    rng = jax.random.PRNGKey(args.seed)
+    n_blocks = len(blocks)
+    order_rng = np.random.default_rng(args.seed)
+    order = order_rng.permutation(n_blocks)
+    pos = 0
+    t0 = time.time()
+    stats = {}
+    while int(state.step) < args.max_update:
+        if pos + batch_size > n_blocks:
+            order = order_rng.permutation(n_blocks)
+            pos = 0
+        idx = order[pos: pos + batch_size]
+        pos += batch_size
+        batch = np.stack([blocks[int(i)] for i in idx])
+        toks = jnp.asarray(batch[:, :-1])
+        tgts = jnp.asarray(batch[:, 1:])
+        state, metrics = jit_step(state, toks, tgts, rng)
+        step = int(state.step)
+        loss = float(metrics.loss)
+        logger.update(loss=loss, ppl=math.exp(min(loss, 20)),
+                      gnorm=float(metrics.grad_norm))
+        if step % args.log_interval == 0:
+            wps = step * batch_size * args.tokens_per_sample / (
+                time.time() - t0)
+            print(f"| step {step} {logger} | wps {wps:.0f}")
+        ckpt.save(step, state)
+        stats = {"step": step, "loss": loss,
+                 "ppl": math.exp(min(loss, 20))}
+    ckpt.wait()
+    print(json.dumps(stats))
+    return stats
+
+
+def cli_main(argv=None):
+    return main(parse_args(argv))
+
+
+if __name__ == "__main__":
+    cli_main()

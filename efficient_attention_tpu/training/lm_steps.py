@@ -1,0 +1,134 @@
+"""Jitted train/eval steps for LM and MT models.
+
+The fairseq Trainer's fwd/bwd/all-reduce/step choreography
+(``trainer.py:716-1022``) reduced to pure functions over TrainState:
+gradients are averaged across the mesh by XLA from sharding constraints,
+grad accumulation is a ``lax.scan`` over microbatches, loss scaling is
+unnecessary in bf16.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from efficient_attention_tpu.training.criterions import (
+    adaptive_loss,
+    label_smoothed_nll_loss,
+)
+from efficient_attention_tpu.training.train_state import StepMetrics, TrainState
+
+
+def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
+                       use_adaptive: bool = False):
+    """LM step over (tokens, targets): next-token NLL / adaptive loss
+    (``criterions/{cross_entropy,adaptive_loss}.py`` + LM recipe)."""
+
+    def loss_fn(params, apply_fn, tokens, targets, rng):
+        rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
+        if use_adaptive:
+            nll = apply_fn(params, tokens, targets, deterministic=False,
+                           rngs=rngs, method="loss")
+            loss_sum, ntokens = adaptive_loss(nll, targets, pad_idx)
+        else:
+            logits = apply_fn(params, tokens, deterministic=False, rngs=rngs)
+            loss_sum, _, ntokens = label_smoothed_nll_loss(
+                logits, targets, epsilon=0.0, pad_idx=pad_idx)
+        return loss_sum / jnp.maximum(ntokens, 1.0), ntokens
+
+    def train_step(state: TrainState, tokens, targets, rng
+                   ) -> Tuple[TrainState, StepMetrics]:
+        rng = jax.random.fold_in(rng, state.step)
+        if accum_steps == 1:
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.apply_fn, tokens, targets, rng)
+        else:
+            mb = tokens.shape[0] // accum_steps
+            tok_mb = tokens.reshape(accum_steps, mb, -1)
+            tgt_mb = targets.reshape(accum_steps, mb, -1)
+
+            def body(carry, xs):
+                loss_acc, grad_acc = carry
+                tk, tg, i = xs
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.apply_fn, tk, tg,
+                    jax.random.fold_in(rng, i))
+                return (loss_acc + loss,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (0.0, zero),
+                (tok_mb, tgt_mb, jnp.arange(accum_steps)))
+            loss = loss / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        grad_norm = optax.global_norm(grads)
+        return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
+
+    return train_step
+
+
+def make_lm_eval_step(use_adaptive: bool = False, pad_idx: int = 1):
+    """Returns summed NLL + token count for PPL aggregation
+    (``fairseq_cli/eval_lm.py`` scoring)."""
+
+    def eval_step(params, apply_fn, tokens, targets, score_mask):
+        if use_adaptive:
+            nll = apply_fn(params, tokens, targets, deterministic=True,
+                           method="loss")
+        else:
+            logits = apply_fn(params, tokens, deterministic=True)
+            nll = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+                targets[..., None], axis=-1)[..., 0]
+        mask = score_mask & (targets != pad_idx)
+        return jnp.sum(nll * mask), jnp.sum(mask)
+
+    return eval_step
+
+
+def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
+                       accum_steps: int = 1):
+    """MT step over (src, prev_out, targets) with label-smoothed CE
+    (``criterions/label_smoothed_cross_entropy.py``, the WMT recipe)."""
+
+    def loss_fn(params, apply_fn, src, prev, targets, rng):
+        rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
+        logits = apply_fn(params, src, prev, deterministic=False, rngs=rngs)
+        loss_sum, nll_sum, ntokens = label_smoothed_nll_loss(
+            logits, targets, epsilon=label_smoothing, pad_idx=pad_idx)
+        n = jnp.maximum(ntokens, 1.0)
+        return loss_sum / n, nll_sum / n
+
+    def train_step(state: TrainState, src, prev, targets, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if accum_steps == 1:
+            (loss, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.apply_fn, src, prev, targets, rng)
+        else:
+            mb = src.shape[0] // accum_steps
+
+            def body(carry, xs):
+                loss_acc, nll_acc, grad_acc = carry
+                s, p, t, i = xs
+                (loss, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.apply_fn, s, p, t,
+                    jax.random.fold_in(rng, i))
+                return (loss_acc + loss, nll_acc + nll,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, nll, grads), _ = jax.lax.scan(
+                body, (0.0, 0.0, zero),
+                (src.reshape(accum_steps, mb, -1),
+                 prev.reshape(accum_steps, mb, -1),
+                 targets.reshape(accum_steps, mb, -1),
+                 jnp.arange(accum_steps)))
+            loss, nll = loss / accum_steps, nll / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        grad_norm = optax.global_norm(grads)
+        return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
+
+    return train_step
