@@ -1,0 +1,177 @@
+"""Training substrate: schedules, optimizer masks, EMA, checkpoint averaging,
+mixup, metrics, NaN detector."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_attention_tpu.data.mixup import (
+    MixupConfig,
+    apply_mixup,
+    one_hot_smooth,
+    soft_target_cross_entropy,
+)
+from efficient_attention_tpu.training import (
+    SmoothedValue,
+    TrainState,
+    average_checkpoints,
+    cosine_schedule,
+    cosine_tmult_schedule,
+    inverse_sqrt_schedule,
+    make_optimizer,
+    weight_decay_mask,
+)
+from efficient_attention_tpu.utils.nan_detector import (
+    NanDetector,
+    first_nonfinite_leaf,
+)
+
+
+class TestSchedules:
+    def test_cosine_endpoints(self):
+        s = cosine_schedule(1e-3, warmup_steps=100, total_steps=1000,
+                            warmup_init_lr=1e-6, min_lr=1e-5)
+        assert abs(float(s(0)) - 1e-6) < 1e-7
+        assert abs(float(s(100)) - 1e-3) < 1e-5
+        assert abs(float(s(1000)) - 1e-5) < 1e-6
+
+    def test_inverse_sqrt(self):
+        s = inverse_sqrt_schedule(7e-4, warmup_steps=6000)
+        assert abs(float(s(6000)) - 7e-4) < 1e-6
+        np.testing.assert_allclose(float(s(24000)), 7e-4 / 2, rtol=1e-3)
+
+    def test_cosine_tmult_restart(self):
+        s = cosine_tmult_schedule(1.0, warmup_steps=0, period=100, t_mult=2.0,
+                                  min_lr=0.0, max_steps=1000)
+        # restart boundary at step 100: lr jumps back to ~max
+        assert float(s(99)) < 0.01
+        assert float(s(101)) > 0.9
+
+    def test_weight_decay_mask(self):
+        params = {"params": {
+            "dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros(4)},
+            "ln": {"scale": jnp.zeros(4), "bias": jnp.zeros(4)},
+            "pos_embed": jnp.zeros((1, 4, 4)),
+        }}
+        mask = weight_decay_mask(params)
+        assert mask["params"]["dense"]["kernel"] is True
+        assert mask["params"]["dense"]["bias"] is False
+        assert mask["params"]["ln"]["scale"] is False
+        assert mask["params"]["pos_embed"] is False
+
+
+class TestTrainState:
+    def test_ema_update(self):
+        params = {"w": jnp.ones((2,))}
+        tx = make_optimizer("sgd", lambda s: 0.1, weight_decay=0.0)
+        state = TrainState.create(None, params, tx, ema_decay=0.5)
+        grads = {"w": jnp.ones((2,))}
+        state = state.apply_gradients(grads)
+        # params moved, ema halfway between old ema (1.0) and new params
+        new_w = float(state.params["w"][0])
+        assert new_w < 1.0
+        np.testing.assert_allclose(
+            state.ema_params["w"], 0.5 * 1.0 + 0.5 * new_w, rtol=1e-6)
+
+    def test_average_checkpoints(self):
+        s1 = {"w": np.ones((2, 2), np.float32)}
+        s2 = {"w": 3 * np.ones((2, 2), np.float32)}
+        avg = average_checkpoints([s1, s2])
+        np.testing.assert_allclose(avg["w"], 2.0)
+        assert avg["w"].dtype == np.float32
+
+
+class TestMixup:
+    def test_soft_targets_sum_to_one(self, rng):
+        cfg = MixupConfig(num_classes=10)
+        imgs = jax.random.normal(rng, (8, 16, 16, 3))
+        labels = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, 10)
+        out_imgs, targets = apply_mixup(jax.random.PRNGKey(2), imgs, labels, cfg)
+        assert out_imgs.shape == imgs.shape
+        np.testing.assert_allclose(targets.sum(-1), 1.0, rtol=1e-5)
+
+    def test_label_smoothing_values(self):
+        t = one_hot_smooth(jnp.array([2]), 10, 0.1)
+        np.testing.assert_allclose(float(t[0, 2]), 0.91, rtol=1e-6)
+        np.testing.assert_allclose(float(t[0, 0]), 0.01, rtol=1e-6)
+
+    def test_soft_ce_matches_hard_ce(self, rng):
+        logits = jax.random.normal(rng, (4, 10))
+        labels = jnp.array([1, 2, 3, 4])
+        hard = one_hot_smooth(labels, 10, 0.0)
+        import optax
+
+        np.testing.assert_allclose(
+            soft_target_cross_entropy(logits, hard),
+            jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)),
+            rtol=1e-5)
+
+
+class TestMeters:
+    def test_smoothed_value(self):
+        m = SmoothedValue(window_size=3)
+        for v in (1, 2, 3, 4):
+            m.update(v)
+        assert m.avg == 3.0  # window of last 3
+        assert m.global_avg == 2.5
+        assert m.max == 4
+
+
+class TestNanDetector:
+    def test_first_nonfinite_leaf(self):
+        tree = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, jnp.nan])}}
+        path = first_nonfinite_leaf(tree)
+        assert path is not None and "c" in path
+        assert first_nonfinite_leaf({"a": jnp.ones(2)}) is None
+
+    def test_module_interception(self):
+        from flax import linen as nn
+
+        class Bad(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Dense(4, name="ok_layer")(x)
+                return jnp.log(-jnp.abs(x) - 1.0)  # always nan
+
+        m = Bad()
+        x = jnp.ones((2, 4))
+        params = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x))
+        params = m.init(jax.random.PRNGKey(0), x)
+        det = NanDetector()
+        with det.intercept():
+            m.apply(params, x)
+        assert det.first_bad is not None
+
+
+class TestImagenetPipeline:
+    def test_prefetch_loader_order_and_shapes(self):
+        from efficient_attention_tpu.data.imagenet import (
+            PrefetchLoader,
+            SyntheticImageDataset,
+            ra_sampler_indices,
+        )
+
+        ds = SyntheticImageDataset(num_samples=64, img_size=8, num_classes=4)
+        loader = PrefetchLoader(ds, batch_size=16, indices=np.arange(64),
+                                num_threads=4)
+        batches = list(loader)
+        assert len(batches) == 4
+        assert batches[0][0].shape == (16, 8, 8, 3)
+        # deterministic labels let us verify ordering
+        np.testing.assert_array_equal(
+            batches[0][1], np.arange(16) % 4)
+
+    def test_ra_sampler(self):
+        from efficient_attention_tpu.data.imagenet import ra_sampler_indices
+
+        idx = ra_sampler_indices(512, epoch=0, num_replicas=2, rank=0)
+        idx2 = ra_sampler_indices(512, epoch=0, num_replicas=2, rank=1)
+        assert len(idx) == len(idx2) == 512 * 2 // 2 // 2  # floor(512/256)*256/2
+        # repetitions: some indices appear multiple times across both shards
+        combined = np.concatenate([idx, idx2])
+        _, counts = np.unique(combined, return_counts=True)
+        assert counts.max() >= 2
