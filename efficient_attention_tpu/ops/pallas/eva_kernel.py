@@ -146,6 +146,49 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
     return jnp.swapaxes(out.reshape(H, B, G, S, D), 0, 1)
 
 
+def _xla_reference(w_q, w_k, w_v, rf_k_bar, beta, bias, scale):
+    """Pure-XLA joint softmax, used to derive the backward pass (and as the
+    semantic ground truth in tests)."""
+    local = jnp.einsum("bhgid,bhgjd->bhgij", w_q, w_k,
+                       preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        local = local + bias[None, :, None].astype(local.dtype)
+    chunk = jnp.einsum("bhgid,bhcd->bhgic", w_q, rf_k_bar,
+                       preferred_element_type=jnp.float32) * scale
+    s = local.shape[-1]
+    attn = jax.nn.softmax(
+        jnp.concatenate([local, chunk], axis=-1), axis=-1).astype(w_v.dtype)
+    return (jnp.einsum("bhgij,bhgjd->bhgid", attn[..., :s], w_v)
+            + jnp.einsum("bhgic,bhcd->bhgid", attn[..., s:], beta))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_differentiable(scale: float, has_bias: bool, interpret: bool):
+    """custom_vjp wrapper: Pallas forward, XLA-derived backward (the joint
+    softmax is recomputed in the backward — remat-style, cheap relative to
+    the full layer)."""
+
+    @jax.custom_vjp
+    def f(w_q, w_k, w_v, rf_k_bar, beta, bias):
+        return _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta,
+                              bias if has_bias else None, scale,
+                              interpret=interpret)
+
+    def fwd(w_q, w_k, w_v, rf_k_bar, beta, bias):
+        out = f(w_q, w_k, w_v, rf_k_bar, beta, bias)
+        return out, (w_q, w_k, w_v, rf_k_bar, beta, bias)
+
+    def bwd(res, g):
+        w_q, w_k, w_v, rf_k_bar, beta, bias = res
+        ref = lambda q, k, v, r, b, bi: _xla_reference(  # noqa: E731
+            q, k, v, r, b, bi if has_bias else None, scale)
+        _, vjp = jax.vjp(ref, w_q, w_k, w_v, rf_k_bar, beta, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def eva_attention_fused(
     w_q: jax.Array,
     w_k: jax.Array,
@@ -156,7 +199,7 @@ def eva_attention_fused(
     bias: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused EVA attention over pre-partitioned windows.
+    """Fused EVA attention over pre-partitioned windows (differentiable).
 
     Args:
       w_q/w_k/w_v: ``[B, H, G, S, D]`` window-partitioned projections (no halo)
@@ -165,5 +208,9 @@ def eva_attention_fused(
       interpret: run in Pallas interpreter mode (CPU testing)
     Returns: ``[B, H, G, S, D]``
     """
-    return _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, float(scale),
-                          interpret=interpret)
+    has_bias = bias is not None
+    if bias is None:  # keep the custom_vjp signature uniform
+        bias = jnp.zeros((w_q.shape[1], w_q.shape[3], w_q.shape[3]),
+                         jnp.float32)
+    f = _make_differentiable(float(scale), has_bias, interpret)
+    return f(w_q, w_k, w_v, rf_k_bar, beta, bias)

@@ -89,3 +89,34 @@ def test_eva_module_pallas_matches_xla(rng):
     out_k = jnp.swapaxes(out_k, 1, 2).reshape(B, 16, 16, C_dim)
     out_k = bound.proj(out_k)
     np.testing.assert_allclose(out_k, out_xla, atol=5e-5, rtol=1e-4)
+
+
+class TestKernelGradients:
+    def test_custom_vjp_matches_xla_grads(self, rng):
+        """Pallas forward + XLA-derived backward == pure-XLA gradients."""
+        from efficient_attention_tpu.ops.pallas.eva_kernel import _xla_reference
+
+        g, s, c = 4, 8, 4
+        keys = jax.random.split(rng, 6)
+        shape = (B, H, g, s, D)
+        w_q = jax.random.normal(keys[0], shape)
+        w_k = jax.random.normal(keys[1], shape)
+        w_v = jax.random.normal(keys[2], shape)
+        rf = jax.random.normal(keys[3], (B, H, c, D))
+        beta = jax.random.normal(keys[4], (B, H, c, D))
+        bias = jax.random.normal(keys[5], (H, s, s))
+        scale = D**-0.5
+
+        def loss_kernel(q, k, v, r, b, bi):
+            return jnp.sum(eva_attention_fused(
+                q, k, v, r, b, scale, bi, interpret=True) ** 2)
+
+        def loss_ref(q, k, v, r, b, bi):
+            return jnp.sum(_xla_reference(q, k, v, r, b, bi, scale) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5))(
+            w_q, w_k, w_v, rf, beta, bias)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            w_q, w_k, w_v, rf, beta, bias)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(a, b_, atol=5e-4, rtol=1e-3)
