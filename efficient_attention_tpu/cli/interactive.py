@@ -1,0 +1,63 @@
+"""Interactive translation from stdin — ``fairseq_cli/interactive.py``
+equivalent: tokenize with the source dictionary, beam-decode, detokenize."""
+from __future__ import annotations
+
+import os
+import sys
+
+from efficient_attention_tpu.cli.generate import parse_args
+from efficient_attention_tpu.cli.train_mt import build_model
+
+
+def cli_main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_attention_tpu.cli.generate import load_params
+    from efficient_attention_tpu.data.dictionary import Dictionary
+    from efficient_attention_tpu.data.text_data import collate_tokens
+    from efficient_attention_tpu.generation import SequenceGenerator
+    from efficient_attention_tpu.models.transformer import TransformerModel
+
+    args = parse_args(argv)
+    assert args.data, "interactive mode requires --data with dictionaries"
+    sd = Dictionary.load(os.path.join(args.data, f"dict.{args.source_lang}.txt"))
+    td = Dictionary.load(os.path.join(args.data, f"dict.{args.target_lang}.txt"))
+    model = build_model(args, len(sd), len(td))
+    dummy = jnp.zeros((1, 16), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy, dummy))()
+    params = load_params(args, model, params)
+    K = args.beam
+
+    print("| Type the input sentence and press return:", file=sys.stderr)
+    for line in sys.stdin:
+        src = collate_tokens([sd.encode_line(line)], pad_idx=sd.pad())
+        enc_out, enc_pad = model.apply(params, jnp.asarray(src),
+                                       method=TransformerModel.encode)
+        enc_out_k = jnp.repeat(enc_out, K, axis=0)
+        enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
+
+        def step_fn(cache, tokens, step):
+            logits, cache = model.apply(
+                params, cache, tokens, step, enc_out_k, enc_pad_k,
+                method=TransformerModel.decode_step)
+            return logits[:, 0], cache
+
+        gen = SequenceGenerator(
+            step_fn,
+            lambda b, l: model.apply(params, b, l,
+                                     method=TransformerModel.init_decode_state),
+            vocab_size=len(td), beam_size=K, max_len=args.max_len_b,
+            len_penalty=args.lenpen, pad=td.pad(), eos=td.eos())
+        tokens, scores = gen.generate(batch=1)
+        hyp = np.asarray(tokens[0, 0, 1:])
+        eos_pos = np.where(hyp == td.eos())[0]
+        if len(eos_pos):
+            hyp = hyp[: eos_pos[0]]
+        print(f"H-{float(scores[0, 0]):.4f}\t{td.string(hyp)}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -63,11 +63,11 @@ def supports_shapes(b: int, g: int, s: int) -> bool:
 def _eva_kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
                 *, scale: float, s: int, c: int, tgs: int):
     """One grid step: RB batch rows of one head, TG windows fused densely."""
-    qq = q_ref[0]   # [RB, TGS, D]
-    kk = k_ref[0]   # [RB, TGS, D]
-    vv = v_ref[0]   # [RB, TGS, D]
-    rr = rf_ref[0]  # [RB, C, D]
-    bt = beta_ref[0]
+    qq = q_ref[:, 0]   # [RB, TGS, D]
+    kk = k_ref[:, 0]   # [RB, TGS, D]
+    vv = v_ref[:, 0]   # [RB, TGS, D]
+    rr = rf_ref[:, 0]  # [RB, C, D]
+    bt = beta_ref[:, 0]
     keys = jnp.concatenate([kk, rr], axis=1)  # [RB, TGS + C, D]
     vals = jnp.concatenate([vv, bt], axis=1)
 
@@ -88,7 +88,7 @@ def _eva_kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
     out = jax.lax.dot_general(
         p.astype(vals.dtype), vals, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (out / denom).astype(o_ref.dtype)
+    o_ref[:, 0] = (out / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -101,11 +101,12 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
     RB, TG = tiles
     TGS = TG * S
 
-    def hm(x, n):  # head-major view
-        return jnp.swapaxes(x, 0, 1).reshape(H, B, n, D)
-
-    q2, k2, v2 = hm(w_q, G * S), hm(w_k, G * S), hm(w_v, G * S)
-    rf2, beta2 = hm(rf_k_bar, C), hm(beta, C)
+    # natural layout, free reshapes only — BlockSpec addresses the (b, h)
+    # hyper-rectangles directly, so no head-major transpose copies
+    q2 = w_q.reshape(B, H, G * S, D)
+    k2 = w_k.reshape(B, H, G * S, D)
+    v2 = w_v.reshape(B, H, G * S, D)
+    rf2, beta2 = rf_k_bar, beta
 
     # expand the per-window bias [H, S, S] block-diagonally to
     # [H, TGS, TGS + C] once in XLA (tiny, resident in VMEM per head)
@@ -119,9 +120,9 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
         big_bias = jnp.pad(big_bias, ((0, 0), (0, 0), (0, C)))
 
     grid = (H, B // RB, G // TG)
-    row_spec = pl.BlockSpec((1, RB, TGS, D), lambda h, b, j: (h, b, j, 0),
+    row_spec = pl.BlockSpec((RB, 1, TGS, D), lambda h, b, j: (b, h, j, 0),
                             memory_space=pltpu.VMEM)
-    cd_spec = pl.BlockSpec((1, RB, C, D), lambda h, b, j: (h, b, 0, 0),
+    cd_spec = pl.BlockSpec((RB, 1, C, D), lambda h, b, j: (b, h, 0, 0),
                            memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, TGS, TGS + C), lambda h, b, j: (h, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -143,7 +144,7 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
         ),
         interpret=interpret,
     )(q2, k2, v2, rf2, beta2, big_bias)
-    return jnp.swapaxes(out.reshape(H, B, G, S, D), 0, 1)
+    return out.reshape(B, H, G, S, D)
 
 
 def _xla_reference(w_q, w_k, w_v, rf_k_bar, beta, bias, scale):
