@@ -68,6 +68,7 @@ class SequenceGenerator:
         pad: int = 1,
         eos: int = 2,
         bos: Optional[int] = None,
+        no_repeat_ngram_size: int = 0,
     ):
         self.step_fn = step_fn
         self.init_cache_fn = init_cache_fn
@@ -77,6 +78,36 @@ class SequenceGenerator:
         self.len_penalty = len_penalty
         self.pad, self.eos = pad, eos
         self.bos = eos if bos is None else bos
+        self.no_repeat_ngram_size = no_repeat_ngram_size
+
+    def _ngram_block(self, tokens: Array, logp: Array, step: Array) -> Array:
+        """Ban next-tokens completing an already-seen n-gram — vectorized
+        JAX port of ``fairseq/ngram_repeat_block.py`` (CUDA kernel
+        ``clib/cuda/ngram_repeat_block*``), runs inside the beam while_loop.
+
+        tokens: [B, K, L]; logp: [B, K, V]."""
+        n = self.no_repeat_ngram_size
+        B, K, L = tokens.shape
+        # suffix (n-1)-gram ending at position `step` (tokens[.., step] is
+        # the newest emitted token)
+        suffix = jax.lax.dynamic_slice_in_dim(
+            tokens, step - (n - 2), n - 1, axis=2)  # [B, K, n-1]
+        # all historical (n-1)-grams starting at i (next token at i+n-1)
+        windows = jnp.stack(
+            [tokens[:, :, i:L - (n - 1) + i] for i in range(n - 1)],
+            axis=-1)  # [B, K, L-n+2, n-1]
+        matches = jnp.all(windows == suffix[:, :, None, :], axis=-1)
+        starts = jnp.arange(windows.shape[2])
+        # valid history: start + n - 1 <= step
+        valid = (starts + (n - 1) <= step) & (step >= n - 1)
+        matches = matches & valid[None, None, :]
+        next_tok = jnp.take_along_axis(
+            tokens, jnp.minimum(starts + (n - 1), L - 1)[None, None, :],
+            axis=2)  # [B, K, L-n+2]
+        banned = jax.vmap(jax.vmap(
+            lambda m, t: jnp.zeros(self.vocab_size, bool).at[t].max(m)
+        ))(matches, next_tok)
+        return jnp.where(banned, NEG_INF, logp)
 
     def _init_state(self, batch: int) -> BeamState:
         K, L = self.beam_size, self.max_len
@@ -119,6 +150,8 @@ class SequenceGenerator:
             logp = logp.reshape(batch, K, V)
             logp = jax.nn.log_softmax(logp, axis=-1) \
                 if not _is_normalized(logp) else logp
+            if self.no_repeat_ngram_size > 0:
+                logp = self._ngram_block(state.tokens, logp, state.step)
             cand = state.log_probs[..., None] + logp  # [B, K, V]
 
             # candidates ending in eos become finished hypotheses

@@ -122,7 +122,8 @@ class PatchEmbed(nn.Module):
             for ch in (d // 4, d // 4, d):
                 x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
                             kernel_init=conv_kernel_init)(x)
-                x = nn.LayerNorm()(x)
+                # GroupNorm(1) == LayerNorm over (H, W, C), per reference
+                x = nn.GroupNorm(num_groups=1)(x)
                 x = jax.nn.relu(x)
             if p == 16:
                 x = nn.Conv(d, (2, 2), strides=(2, 2), padding="VALID",
@@ -136,33 +137,54 @@ class PatchEmbed(nn.Module):
             s0 = 4 if p == 16 else 2
             x = nn.Conv(d // 4, (s0, s0), strides=(s0, s0), padding="VALID",
                         kernel_init=conv_kernel_init)(x)
-            x = nn.LayerNorm()(x)
+            x = nn.GroupNorm(num_groups=1)(x)
             x = nn.gelu(x)
             x = nn.Conv(d // 4, (2, 2), strides=(2, 2), padding="VALID",
                         kernel_init=conv_kernel_init)(x)
-            x = nn.LayerNorm()(x)
+            x = nn.GroupNorm(num_groups=1)(x)
             x = nn.gelu(x)
             x = nn.Conv(d, (2, 2), strides=(2, 2), padding="VALID",
                         kernel_init=conv_kernel_init)(x)
-            x = nn.LayerNorm()(x)
+            x = nn.GroupNorm(num_groups=1)(x)
         else:
             raise NotImplementedError(f"stem {self.stem_type}")
         return x  # [B, H/p, W/p, d]
 
 
 class OverlapPatchEmbed(nn.Module):
-    """PVTv2 overlapping patch embedding (``pvt_legacy.py:135-189``)."""
+    """PVTv2 overlapping patch embedding (``pvt_legacy.py:135-189``).
+
+    With ``use_conv_patchify`` the first stage uses a 3-conv stem
+    (``pvt_legacy.py:152-163``); the reference normalizes with SyncBatchNorm,
+    replaced here by GroupNorm(1) — batch-independent, no mutable state, and
+    equivalent at inference.
+    """
 
     patch_size: int = 7
     stride: int = 4
     embed_dim: int = 768
+    use_conv_patchify: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Tuple[int, int]]:
-        pad = self.patch_size // 2
-        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=(self.stride, self.stride), padding=pad,
-                    kernel_init=conv_kernel_init)(x)
+        if self.use_conv_patchify:
+            d = self.embed_dim
+            x = nn.Conv(d // 4, (3, 3), strides=(2, 2), padding=1,
+                        kernel_init=conv_kernel_init)(x)
+            x = nn.GroupNorm(num_groups=1)(x)
+            x = nn.gelu(x)
+            x = nn.Conv(d // 2, (3, 3), strides=(2, 2), padding=1,
+                        kernel_init=conv_kernel_init)(x)
+            x = nn.GroupNorm(num_groups=1)(x)
+            x = nn.gelu(x)
+            x = nn.Conv(d, (3, 3), strides=(1, 1), padding=1,
+                        kernel_init=conv_kernel_init)(x)
+            x = nn.GroupNorm(num_groups=1)(x)
+        else:
+            pad = self.patch_size // 2
+            x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                        strides=(self.stride, self.stride), padding=pad,
+                        kernel_init=conv_kernel_init)(x)
         H, W = x.shape[1], x.shape[2]
         x = nn.LayerNorm()(x)
         return x, (H, W)

@@ -88,6 +88,7 @@ class PyramidVisionTransformerV2(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     linear: bool = False
+    use_conv_patchify: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -101,6 +102,7 @@ class PyramidVisionTransformerV2(nn.Module):
                 patch_size=7 if i == 0 else 3,
                 stride=4 if i == 0 else 2,
                 embed_dim=self.embed_dims[i],
+                use_conv_patchify=(self.use_conv_patchify and i == 0),
                 name=f"patch_embed{i + 1}",
             )(x)
             for j in range(self.depths[i]):

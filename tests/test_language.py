@@ -296,3 +296,44 @@ class TestGeneration:
         tokens, scores = gen.generate(batch=2)
         assert tokens.shape == (2, 2, 13)
         assert jnp.isfinite(scores).all()
+
+
+class TestNgramBlocking:
+    def test_beam_no_repeat_ngram(self):
+        """A looping toy LM repeats (3,4,5); 3-gram blocking must break it."""
+        Vt = 10
+
+        def step_fn(cache, tokens, step):
+            # wants to emit the cycle 3,4,5,3,4,5,...
+            logits = jnp.full((tokens.shape[0], Vt), -10.0)
+            tok = 3 + (step % 3)
+            logits = logits.at[:, tok].set(5.0)
+            logits = logits.at[:, 2].set(-2.0)  # weak eos fallback
+            return logits, cache
+
+        gen = SequenceGenerator(step_fn, lambda b, l: (), vocab_size=Vt,
+                                beam_size=2, max_len=10,
+                                no_repeat_ngram_size=3)
+        tokens, scores = gen.generate(batch=1)
+        row = np.asarray(tokens[0, 0])
+        # without blocking the greedy continuation would be 3,4,5,3,4,5,...;
+        # blocking must prevent the second "3,4,5" completing: no position
+        # repeats the trigram (3,4,5) twice
+        tris = [tuple(row[i:i + 3]) for i in range(1, len(row) - 2)]
+        assert tris.count((3, 4, 5)) <= 1
+
+    def test_unblocked_repeats(self):
+        Vt = 10
+
+        def step_fn(cache, tokens, step):
+            logits = jnp.full((tokens.shape[0], Vt), -10.0)
+            tok = 3 + (step % 3)
+            logits = logits.at[:, tok].set(5.0)
+            return logits, cache
+
+        gen = SequenceGenerator(step_fn, lambda b, l: (), vocab_size=Vt,
+                                beam_size=2, max_len=10)
+        tokens, _ = gen.generate(batch=1)
+        row = np.asarray(tokens[0, 0])
+        tris = [tuple(row[i:i + 3]) for i in range(1, len(row) - 2)]
+        assert tris.count((3, 4, 5)) >= 2
