@@ -214,6 +214,31 @@ def _is_normalized(logp: Array) -> bool:
     return False  # step_fn returns raw logits by convention; always normalize
 
 
+def sample_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, rng,
+                  pad=1, temperature: float = 1.0, top_k: int = 0):
+    """Ancestral / top-k sampling (``fairseq search.Sampling`` analogue)."""
+    cache = init_cache_fn(batch, max_len + 1)
+
+    def body(carry, step):
+        tokens, cache, done, rng = carry
+        logits, cache = step_fn(cache, tokens, step)
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        rng, sub = jax.random.split(rng)
+        nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad, nxt)[:, None]
+        done = done | (nxt[:, 0] == eos)
+        return (nxt, cache, done, rng), nxt[:, 0]
+
+    init_tokens = jnp.full((batch, 1), bos, jnp.int32)
+    done0 = jnp.zeros((batch,), bool)
+    _, outs = jax.lax.scan(
+        body, (init_tokens, cache, done0, rng), jnp.arange(max_len))
+    return jnp.swapaxes(outs, 0, 1)
+
+
 def greedy_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, pad=1):
     """Greedy decoding as a lax.scan (used by eval/smoke paths)."""
     cache = init_cache_fn(batch, max_len + 1)

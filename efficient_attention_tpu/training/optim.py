@@ -104,6 +104,53 @@ def polynomial_schedule(base_lr, warmup_steps, total_steps, power=1.0,
     return schedule
 
 
+def tri_stage_schedule(base_lr: float, warmup_steps: int, hold_steps: int,
+                       decay_steps: int, init_lr_scale: float = 0.01,
+                       final_lr_scale: float = 0.01) -> optax.Schedule:
+    """fairseq ``tri_stage`` scheduler: linear warmup, hold, exp decay."""
+    init_lr = base_lr * init_lr_scale
+    final_lr = base_lr * final_lr_scale
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = init_lr + (base_lr - init_lr) * step / jnp.maximum(warmup_steps, 1)
+        t = step - warmup_steps - hold_steps
+        decay = base_lr * jnp.exp(
+            jnp.log(jnp.maximum(final_lr_scale, 1e-9))
+            * jnp.clip(t / jnp.maximum(decay_steps, 1), 0.0, 1.0))
+        return jnp.where(
+            step < warmup_steps, warm,
+            jnp.where(step < warmup_steps + hold_steps, base_lr, decay))
+
+    return schedule
+
+
+class ReduceLROnPlateau:
+    """fairseq ``reduce_lr_on_plateau``: host-side stateful factor schedule.
+    Call ``.step(val_loss)`` per validation; multiply into the base schedule
+    via ``.scale``."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 1,
+                 threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, val_loss: float) -> float:
+        if val_loss < self.best * (1 - self.threshold):
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.scale
+
+
 def weight_decay_mask(params) -> Any:
     """No weight decay for biases / LayerNorm scales / positional embeddings,
     matching timm's ``no_weight_decay`` convention + the model's exclusions
