@@ -202,3 +202,53 @@ class TestRPE:
         assert idx.min() >= 0 and idx.max() < size
         # symmetric pairs map to distinct entries unless same offset
         assert idx[0, 0] != idx[8, 24] or (3 == 1)
+
+
+class TestMiscOps:
+    def test_look_around(self):
+        from efficient_attention_tpu.ops.misc import look_around
+
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2, 1)
+        out = look_around(x, backward=1, forward=0, pad_value=-1.0, axis=-2)
+        assert out.shape == (1, 3, 4, 1)
+        np.testing.assert_array_equal(out[0, 0, :, 0], [-1, -1, 0, 1])
+        np.testing.assert_array_equal(out[0, 1, :, 0], [0, 1, 2, 3])
+
+    def test_merger(self):
+        from efficient_attention_tpu.ops.misc import merger
+
+        x = jnp.array([[-1.0, 2.0], [3.0, -4.0]])
+        np.testing.assert_allclose(
+            merger(x, "identity-mean", axis=0), [1.0, -1.0])
+        np.testing.assert_allclose(
+            merger(x, "relu-max", axis=0), [3.0, 2.0])
+
+    def test_future_mask(self):
+        from efficient_attention_tpu.ops.misc import future_mask
+
+        m = future_mask(3)
+        assert m[0, 1] == -np.inf and m[1, 0] == 0 and m[2, 2] == 0
+
+
+class TestContextWindowBlocks:
+    def test_sliding_blocks(self):
+        from efficient_attention_tpu.data.lm_context_window import (
+            context_window_blocks,
+        )
+
+        tokens = np.arange(20)
+        blocks = list(context_window_blocks(tokens, tokens_per_sample=8,
+                                            context_window=3, pad_idx=-1))
+        # first block scores everything; later blocks carry 3 context tokens
+        b0, m0 = blocks[0]
+        np.testing.assert_array_equal(b0, np.arange(8))
+        assert m0.all()
+        b1, m1 = blocks[1]
+        np.testing.assert_array_equal(b1[:3], [5, 6, 7])  # context
+        assert not m1[:3].any() and m1[3:].all()
+        # every token scored exactly once
+        scored = []
+        for b, m in blocks:
+            scored.extend(np.asarray(b)[m & (b >= 0)].tolist())
+        assert sorted(set(scored)) == list(range(20))
+        assert len(scored) == len(set(scored))

@@ -124,3 +124,35 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestPipelineParallel:
+    def test_gpipe_matches_sequential(self):
+        """4-stage pipeline over stacked dense layers == sequential apply."""
+        from efficient_attention_tpu.parallel.pipeline import (
+            make_pipelined_apply,
+        )
+
+        n_stages = 4
+        L, D_ = 8, 16  # 2 layers per stage
+        key = jax.random.PRNGKey(0)
+        ws = jax.random.normal(key, (L, D_, D_)) * 0.3
+        bs = jax.random.normal(jax.random.PRNGKey(1), (L, D_)) * 0.1
+
+        def layer_fn(params, x):
+            w, b = params
+            return jnp.tanh(x @ w + b)
+
+        num_micro, mb = 8, 4
+        x = jax.random.normal(jax.random.PRNGKey(2), (num_micro, mb, D_))
+
+        # sequential reference
+        ref = x
+        for i in range(L):
+            ref = layer_fn((ws[i], bs[i]), ref)
+
+        devices = jax.devices()[:n_stages]
+        mesh = Mesh(np.array(devices), ("stage",))
+        pipelined = make_pipelined_apply(layer_fn, mesh, "stage")
+        out = pipelined((ws, bs), x)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
