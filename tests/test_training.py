@@ -175,3 +175,47 @@ class TestImagenetPipeline:
         combined = np.concatenate([idx, idx2])
         _, counts = np.unique(combined, return_counts=True)
         assert counts.max() >= 2
+
+
+class TestMoreSchedules:
+    def test_tri_stage(self):
+        from efficient_attention_tpu.training.optim import tri_stage_schedule
+
+        s = tri_stage_schedule(1.0, warmup_steps=10, hold_steps=10,
+                               decay_steps=10, init_lr_scale=0.1,
+                               final_lr_scale=0.01)
+        assert abs(float(s(0)) - 0.1) < 1e-6
+        assert abs(float(s(10)) - 1.0) < 1e-6
+        assert abs(float(s(15)) - 1.0) < 1e-6  # hold
+        assert abs(float(s(30)) - 0.01) < 1e-3  # decayed to final
+
+    def test_plateau(self):
+        from efficient_attention_tpu.training.optim import ReduceLROnPlateau
+
+        p = ReduceLROnPlateau(factor=0.5, patience=1)
+        assert p.step(1.0) == 1.0
+        assert p.step(0.5) == 1.0  # improved
+        p.step(0.6)
+        assert p.step(0.6) == 0.5  # two bad epochs -> halve
+
+
+class TestSampling:
+    def test_sample_decode_respects_eos(self):
+        import jax
+        from efficient_attention_tpu.generation.beam_search import sample_decode
+
+        Vt = 10
+
+        def step_fn(cache, tokens, step):
+            logits = jnp.full((tokens.shape[0], Vt), -20.0)
+            logits = logits.at[:, 5].set(10.0)
+            logits = jnp.where(step >= 2, logits.at[:, 2].set(30.0), logits)
+            return logits, cache
+
+        out = sample_decode(step_fn, lambda b, l: (), batch=3, max_len=8,
+                            bos=2, eos=2, rng=jax.random.PRNGKey(0),
+                            top_k=2)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[:, :3], [[5, 5, 2]] * 3)
+        # after eos everything is pad
+        assert (out[:, 3:] == 1).all()
