@@ -165,10 +165,6 @@ class EVA(LocalAttention):
             key_padding_mask = jnp.zeros((B, N), dtype=bool)
         kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]  # [b, 1, n, 1]
 
-        w_q = self.window_partition(q, seq_shape, ext_window_size=0)
-        w_k = self.window_partition(k, seq_shape, ext_window_size=self.ext_size)
-        w_v = self.window_partition(v, seq_shape, ext_window_size=self.ext_size)
-
         if self.attn_2d:
             rf_win_size = int(math.sqrt(N // self.num_landmarks))
         else:
@@ -213,19 +209,64 @@ class EVA(LocalAttention):
             "...cj,...cjd->...cd", jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v
         )
 
-        # ---- fused Pallas kernel path (local + chunk joint softmax in VMEM;
-        # see ops/pallas/eva_kernel.py). Bit-compatible with the XLA path
-        # below when no padding / halo is involved. ----
-        from efficient_attention_tpu.ops.pallas.eva_kernel import supports_shapes
-
-        use_pallas = (
-            self.impl in ("auto", "pallas")
+        # ---- fused Pallas kernel paths (local + chunk joint softmax in
+        # VMEM; see ops/pallas/). Bit-compatible with the XLA path below
+        # when no padding / halo is involved. Preference order:
+        #   1. row-major kernel (zero layout transposes, 2-D square windows)
+        #   2. Swin-layout kernel (windows pre-partitioned)
+        #   3. XLA einsum path (always; also supplies gradients) ----
+        pallas_ok = (
+            self.impl in ("auto", "pallas", "rowmajor")
             and self.ext_size == 0
             and padding_free
             and self.attn_drop == 0.0
             and _on_tpu()
-            and supports_shapes(B, w_q.shape[2], w_q.shape[3])
         )
+        ws = self.window_size
+
+        def _window_bias():
+            if self.use_t5_rpe:
+                i = j = ws * ws if self.attn_2d else ws
+                return self.rel_pos_bias(i, j)[0, :, 0]  # [H, S, S]
+            if self.rpe_enabled:
+                if self.attn_2d:
+                    bias = jnp.take(
+                        self.local_relative_position_bias_table,
+                        self._rpe_index, axis=0,
+                    ).reshape(ws * ws, ws * ws, self.num_heads)
+                    return jnp.transpose(bias, (2, 0, 1))
+                return self.local_relative_position_bias_table
+            return None
+
+        # The zero-transpose row-major kernel measured slightly SLOWER than
+        # the Swin-layout kernel end-to-end on v5e (the layout copies it
+        # avoids turn out to be cheap; see ops/pallas/eva_rowmajor.py), so it
+        # is opt-in via impl='rowmajor'.
+        if self.impl == "rowmajor" and pallas_ok and self.attn_2d:
+            from efficient_attention_tpu.ops.pallas.eva_rowmajor import (
+                eva_attention_rowmajor,
+                supports_rowmajor,
+            )
+
+            W_img = seq_shape[1]
+            if (seq_shape[0] % ws == 0 and W_img % ws == 0
+                    and supports_rowmajor(B, N, W_img, ws)):
+                output = eva_attention_rowmajor(
+                    q, k, v, rf_k_bar, beta, self.scale, W_img, ws,
+                    bias=_window_bias())  # [B, H, N, D] token order
+                x = jnp.swapaxes(output, 1, 2).reshape(
+                    (B,) + tuple(seq_shape) + (C,))
+                x = self.proj(x)
+                return self.proj_dropout(x, deterministic=deterministic)
+
+        w_q = self.window_partition(q, seq_shape, ext_window_size=0)
+        w_k = self.window_partition(k, seq_shape, ext_window_size=self.ext_size)
+        w_v = self.window_partition(v, seq_shape, ext_window_size=self.ext_size)
+
+        from efficient_attention_tpu.ops.pallas.eva_kernel import supports_shapes
+
+        use_pallas = pallas_ok and supports_shapes(
+            B, w_q.shape[2], w_q.shape[3])
         if self.impl == "pallas" and not use_pallas:
             raise ValueError(
                 "impl='pallas' requires TPU, no halo, and no padding mask")
@@ -234,21 +275,7 @@ class EVA(LocalAttention):
                 eva_attention_fused,
             )
 
-            if self.use_t5_rpe:
-                i = j = w_q.shape[-2]
-                bias = self.rel_pos_bias(i, j)[0, :, 0]  # [H, S, S]
-            elif self.rpe_enabled:
-                w, e = self.window_size, self.ext_size
-                if self.attn_2d:
-                    bias = jnp.take(
-                        self.local_relative_position_bias_table,
-                        self._rpe_index, axis=0,
-                    ).reshape(w * w, w * w, self.num_heads)
-                    bias = jnp.transpose(bias, (2, 0, 1))
-                else:
-                    bias = self.local_relative_position_bias_table
-            else:
-                bias = None
+            bias = _window_bias()
             output = eva_attention_fused(
                 w_q, w_k, w_v, rf_k_bar, beta, self.scale, bias)
             output = self.window_merge(output, seq_shape)

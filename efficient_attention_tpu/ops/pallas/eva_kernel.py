@@ -75,12 +75,10 @@ def _eva_kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
         qq, keys, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # [RB, TGS, TGS + C]
-    # resident per-head bias, already block-diag-expanded and chunk-padded
+    # resident per-head bias: block-diag-expanded RPE + MASK_VAL on
+    # off-diagonal entries (mask folded in — in-kernel integer div for the
+    # window pattern is slow VPU work and identical every step)
     logits = logits + bias_ref[0][None]
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (tgs, tgs + c), 0) // s
-    col = jax.lax.broadcasted_iota(jnp.int32, (tgs, tgs + c), 1)
-    visible = (row_w == col // s) | (col >= tgs)
-    logits = jnp.where(visible[None], logits, MASK_VAL)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -109,15 +107,23 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
     rf2, beta2 = rf_k_bar, beta
 
     # expand the per-window bias [H, S, S] block-diagonally to
-    # [H, TGS, TGS + C] once in XLA (tiny, resident in VMEM per head)
+    # [H, TGS, TGS + C] once in XLA (tiny, resident in VMEM per head),
+    # with the off-diagonal mask folded in as MASK_VAL
+    import numpy as np
+
+    t = np.arange(TGS)
+    vis = np.concatenate(
+        [(t[:, None] // S) == (t[None, :] // S), np.ones((TGS, C), bool)],
+        axis=1)
+    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
     if bias is None:
-        big_bias = jnp.zeros((H, TGS, TGS + C), jnp.float32)
+        big_bias = jnp.broadcast_to(mask_add, (H, TGS, TGS + C))
     else:
         eye = jnp.eye(TG, dtype=jnp.float32)
         big_bias = jnp.einsum(
             "tu,hij->htiuj", eye, bias.astype(jnp.float32)
         ).reshape(H, TGS, TGS)
-        big_bias = jnp.pad(big_bias, ((0, 0), (0, 0), (0, C)))
+        big_bias = jnp.pad(big_bias, ((0, 0), (0, 0), (0, C))) + mask_add
 
     grid = (H, B // RB, G // TG)
     row_spec = pl.BlockSpec((RB, 1, TGS, D), lambda h, b, j: (b, h, j, 0),

@@ -120,3 +120,62 @@ class TestKernelGradients:
             w_q, w_k, w_v, rf, beta, bias)
         for a, b_ in zip(gk, gr):
             np.testing.assert_allclose(a, b_, atol=5e-4, rtol=1e-3)
+
+
+class TestRowMajorKernel:
+    def test_matches_swin_reference(self, rng):
+        """Row-major kernel == Swin-partitioned reference computation."""
+        from efficient_attention_tpu.ops.pallas.eva_rowmajor import (
+            eva_attention_rowmajor,
+        )
+        from efficient_attention_tpu.ops import windows as W
+
+        Wimg = 16
+        ws, c = 4, 4
+        N = Wimg * Wimg
+        keys = jax.random.split(rng, 6)
+        q = jax.random.normal(keys[0], (B, H, N, D))
+        k = jax.random.normal(keys[1], (B, H, N, D))
+        v = jax.random.normal(keys[2], (B, H, N, D))
+        rf = jax.random.normal(keys[3], (B, H, c, D))
+        beta = jax.random.normal(keys[4], (B, H, c, D))
+        bias = jax.random.normal(keys[5], (H, ws * ws, ws * ws))
+        scale = D**-0.5
+
+        # Swin-ordered reference
+        def part(t):
+            return W.window_2d_partition(
+                t.reshape(B, H, Wimg, Wimg, D), ws)
+
+        ref_sw = _reference_joint_softmax(
+            part(q), part(k), part(v), rf, beta, scale, bias)
+        ref = W.window_2d_merge(ref_sw, ws, (Wimg, Wimg)).reshape(B, H, N, D)
+
+        out = eva_attention_rowmajor(q, k, v, rf, beta, scale, Wimg, ws,
+                                     bias=bias, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+    def test_grads_match_reference(self, rng):
+        from efficient_attention_tpu.ops.pallas.eva_rowmajor import (
+            _xla_reference_rowmajor,
+            eva_attention_rowmajor,
+            rowmajor_bias_index,
+        )
+
+        Wimg, ws, c = 8, 4, 2
+        N = Wimg * Wimg
+        keys = jax.random.split(rng, 5)
+        q = jax.random.normal(keys[0], (B, H, N, D))
+        k = jax.random.normal(keys[1], (B, H, N, D))
+        v = jax.random.normal(keys[2], (B, H, N, D))
+        rf = jax.random.normal(keys[3], (B, H, c, D))
+        beta = jax.random.normal(keys[4], (B, H, c, D))
+        scale = D**-0.5
+
+        def loss_k(q, k, v, rf, beta):
+            return jnp.sum(eva_attention_rowmajor(
+                q, k, v, rf, beta, scale, Wimg, ws, interpret=True) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(q, k, v, rf, beta)
+        assert all(jnp.isfinite(g).all() for g in gk)
+        assert all(float(jnp.abs(g).sum()) > 0 for g in gk)
