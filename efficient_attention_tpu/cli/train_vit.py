@@ -71,6 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh-fsdp", default=1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
     parser.add_argument("--bf16", action="store_true", default=False)
+    parser.add_argument("--tensorboard-logdir", default=None, type=str)
     return parser
 
 
@@ -238,6 +239,11 @@ def main(args) -> dict:
         return stats
 
     log_path = os.path.join(args.output_dir, "log.txt")
+    tb = None
+    if args.tensorboard_logdir:
+        from efficient_attention_tpu.training.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard_logdir)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
     for epoch in range(start_epoch, args.epochs):
@@ -266,6 +272,10 @@ def main(args) -> dict:
                   **{f"val_{k}": v for k, v in val_stats.items()},
                   "epoch_time": time.time() - t0}
         write_log_line(log_path, record)
+        if tb is not None:
+            tb.add_scalars(
+                {k: v for k, v in record.items()
+                 if isinstance(v, (int, float))}, step=int(state.step))
         ckpt.save(int(state.step), state,
                   metrics={"acc1": val_stats.get("acc1", 0.0)})
         history = record

@@ -219,3 +219,38 @@ class TestSampling:
         np.testing.assert_array_equal(out[:, :3], [[5, 5, 2]] * 3)
         # after eos everything is pad
         assert (out[:, 3:] == 1).all()
+
+
+class TestTensorBoardWriter:
+    def test_event_file_structure(self, tmp_path):
+        """Records are valid TFRecords (length + masked CRC32C verified by
+        re-parsing) containing our scalar tags."""
+        import struct
+        from efficient_attention_tpu.training.tensorboard import (
+            SummaryWriter,
+            _masked_crc,
+        )
+
+        w = SummaryWriter(str(tmp_path))
+        w.add_scalar("train/loss", 1.5, step=3)
+        w.add_scalars({"acc1": 0.7, "acc5": 0.9}, step=4, prefix="val/")
+        w.close()
+        files = list(tmp_path.iterdir())
+        assert len(files) == 1 and files[0].name.startswith("events.out.tfevents")
+        data = files[0].read_bytes()
+        # walk the TFRecord stream verifying CRCs
+        off, records = 0, []
+        while off < len(data):
+            (length,) = struct.unpack("<Q", data[off:off + 8])
+            (hcrc,) = struct.unpack("<I", data[off + 8:off + 12])
+            assert hcrc == _masked_crc(data[off:off + 8])
+            payload = data[off + 12:off + 12 + length]
+            (pcrc,) = struct.unpack(
+                "<I", data[off + 12 + length:off + 16 + length])
+            assert pcrc == _masked_crc(payload)
+            records.append(payload)
+            off += 16 + length
+        assert len(records) == 4  # file_version + 3 scalars
+        assert b"brain.Event" in records[0]
+        assert b"train/loss" in records[1]
+        assert b"val/acc1" in records[2]
