@@ -85,9 +85,11 @@ class EVA(LocalAttention):
     adaptive_proj: str = "default"
     num_landmarks: int = 49
     use_t5_rpe: bool = False
-    # 'auto' uses the fused Pallas kernel on TPU when the layout allows
-    # (no padding mask, no halo); 'xla' forces the reference einsum path;
-    # 'pallas' forces the kernel (errors if unsupported).
+    # 'auto' prefers the packed zero-transpose Pallas kernel on TPU when the
+    # layout allows (2-D square windows, no padding mask, no halo), falling
+    # back to the Swin-layout kernel, then the XLA einsum path.
+    # 'packed'/'pallas'/'rowmajor' force a specific kernel (error if
+    # unsupported); 'xla' forces the reference einsum path.
     impl: str = "auto"
 
     def setup(self):
@@ -125,6 +127,172 @@ class EVA(LocalAttention):
                 max_distance=self.window_size + self.ext_size,
             )
 
+    def _chunk_summaries_packed(self, qkv, seq_shape, rf_win_size,
+                                deterministic):
+        """Chunk summaries read straight from the packed ``[B, N, 3*H*D]``
+        projection output; returns ``(rf_k_bar, beta)`` packed ``[B, C, H*D]``
+        (the layout :func:`eva_attention_packed` consumes).
+
+        Same math as :meth:`_chunk_summaries_natural`; only the axis layout
+        differs, so the learned ``adaptive_mu_*`` parameters are shared
+        (Dense/LN act on the minor head_dim axis in both).
+        """
+        nh = self.num_heads
+        d = self.head_dim
+        B, N, _ = qkv.shape
+        j = rf_win_size
+        gh, gw = seq_shape
+        hc, wc = gh // j, gw // j
+        c = hc * wc
+        qkv7 = qkv.reshape(B, gh, gw, 3, nh, d)
+
+        def chunked(i):
+            # [B, hc, j, wc, j, nh, d] strided view of q/k/v (XLA fuses the
+            # gather into the consuming reduction/contraction)
+            return qkv7[:, :, :, i].reshape(B, hc, j, wc, j, nh, d)
+
+        k7 = chunked(1)
+        k_mean = jnp.mean(k7, axis=(2, 4))  # [B, hc, wc, nh, d]
+        if self.adaptive_proj in ("default", "no-ln"):
+            q_mean = jnp.mean(chunked(0), axis=(2, 4))
+            rf_q_bar = self.adaptive_mu_q(q_mean)
+            rf_k_bar = self.adaptive_mu_k(k_mean)
+            mu = 0.5 * (rf_q_bar + rf_k_bar)
+        else:
+            rf_k_bar = self.adaptive_mu_k(k_mean)
+            mu = jnp.zeros_like(rf_k_bar)
+        weights = self._sample_weights(mu, deterministic)
+        dn = d ** -0.5
+        dash = dn * jnp.einsum("zaicjhd,zachd->zaicjh", k7, weights,
+                               preferred_element_type=jnp.float32)
+        norm = (0.5 * dn) * jnp.sum(
+            jnp.square(k7.astype(jnp.float32)), axis=-1)
+        logp = dash - norm  # [B, hc, j, wc, j, nh]
+        m = jnp.max(logp, axis=(2, 4), keepdims=True)
+        p = jnp.exp(logp - m)
+        p = p / jnp.sum(p, axis=(2, 4), keepdims=True)
+        beta = jnp.einsum("zaicjh,zaicjhd->zachd", p.astype(qkv.dtype),
+                          chunked(2))
+        return (rf_k_bar.reshape(B, c, nh * d),
+                beta.reshape(B, c, nh * d))
+
+    def _forward_packed(self, x, seq_shape, rf_win_size, deterministic):
+        """Zero-transpose EVA forward: LN'd tokens -> fused qkv projection ->
+        packed Pallas kernel -> output projection, with no head transpose or
+        window partition anywhere (see ``ops/pallas/eva_packed.py``)."""
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            eva_attention_packed,
+        )
+
+        B = x.shape[0]
+        C = x.shape[-1]
+        gh, gw = seq_shape
+        N = gh * gw
+        qkv = self.qkv(x.reshape(B, N, C))  # [B, N, 3*H*D]
+        rf_k_bar, beta = self._chunk_summaries_packed(
+            qkv, seq_shape, rf_win_size, deterministic)
+        bias = self._window_bias_general()
+        out = eva_attention_packed(
+            qkv, rf_k_bar, beta, self.scale, self.num_heads, gw,
+            self.window_size, bias=bias)
+        x = self.proj(out.reshape((B,) + tuple(seq_shape) + (C,)))
+        return self.proj_dropout(x, deterministic=deterministic)
+
+    def _window_bias_general(self):
+        """Per-window local bias ``[H, S, S]`` or None (RPE or T5)."""
+        ws = self.window_size
+        if self.use_t5_rpe:
+            i = j = ws * ws if self.attn_2d else ws
+            return self.rel_pos_bias(i, j)[0, :, 0]
+        if self.rpe_enabled:
+            if self.attn_2d:
+                bias = jnp.take(
+                    self.local_relative_position_bias_table,
+                    self._rpe_index, axis=0,
+                ).reshape(ws * ws, ws * ws, self.num_heads)
+                return jnp.transpose(bias, (2, 0, 1))
+            return self.local_relative_position_bias_table
+        return None
+
+    def _sample_weights(self, mu: Array, deterministic: bool) -> Array:
+        """One RF sample ``w ~ N(mu, I)`` (mean at eval; ``eva.py:187-190``)."""
+        if deterministic:
+            return mu
+        noise = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+        return mu + noise
+
+    def _chunk_summaries_natural(self, q, k, v, seq_shape, rf_win_size,
+                                 deterministic):
+        """Chunk summaries ``(rf_k_bar, beta)`` without window partitions.
+
+        Equivalent to the partitioned path with an all-False padding mask
+        (``eva.py:150-196``), but every op reads q/k/v in their natural
+        ``[b, h, n, d]`` layout through free reshapes: chunk means are
+        strided reductions and the prm/SNIS contractions write only tiny
+        ``[b, h, c, j]`` / ``[b, h, c, d]`` outputs, so no transposed copy
+        of a full tensor is materialized in HBM.
+        """
+        nh = self.num_heads
+        d = self.head_dim
+        B = q.shape[0]
+        j = rf_win_size
+        if self.attn_2d:
+            gh, gw = seq_shape
+            hc, wc = gh // j, gw // j
+            c = hc * wc
+
+            def chunked(t):
+                # [b, h, n, d] -> [b, h, hc, j, wc, j, d] (free reshape)
+                return t.reshape(B, nh, hc, j, wc, j, d)
+
+            k6 = chunked(k)
+            k_mean = jnp.mean(k6, axis=(3, 5)).reshape(B, nh, c, d)
+            if self.adaptive_proj in ("default", "no-ln"):
+                q_mean = jnp.mean(chunked(q), axis=(3, 5)).reshape(B, nh, c, d)
+                rf_q_bar = self.adaptive_mu_q(q_mean)
+                rf_k_bar = self.adaptive_mu_k(k_mean)
+                mu = 0.5 * (rf_q_bar + rf_k_bar)
+            else:
+                rf_k_bar = self.adaptive_mu_k(k_mean)
+                mu = jnp.zeros_like(rf_k_bar)
+            weights = self._sample_weights(mu, deterministic)
+            w6 = weights.reshape(B, nh, hc, wc, d)
+            # log phi(k)[c, j] = <w_c, k_j>/sqrt(d) - |k_j|^2/(2 sqrt(d))
+            # (``attn_utils.py:292-348``), per 2-D chunk (a, b2)
+            dn = d ** -0.5
+            dash = dn * jnp.einsum("bhaicjd,bhacd->bhaicj", k6, w6,
+                                   preferred_element_type=jnp.float32)
+            norm = (0.5 * dn) * jnp.sum(
+                jnp.square(k6.astype(jnp.float32)), axis=-1)
+            logp = dash - norm  # [b, h, hc, j, wc, j]
+            m = jnp.max(logp, axis=(3, 5), keepdims=True)
+            p = jnp.exp(logp - m)
+            p = p / jnp.sum(p, axis=(3, 5), keepdims=True)
+            beta = jnp.einsum("bhaicj,bhaicjd->bhacd", p.astype(v.dtype),
+                              chunked(v)).reshape(B, nh, c, d)
+            return rf_k_bar, beta
+
+        # 1-D: the chunk partition is itself a free reshape
+        c = q.shape[2] // j
+        k4 = k.reshape(B, nh, c, j, d)
+        k_mean = jnp.mean(k4, axis=-2)
+        if self.adaptive_proj in ("default", "no-ln"):
+            q_mean = jnp.mean(q.reshape(B, nh, c, j, d), axis=-2)
+            rf_q_bar = self.adaptive_mu_q(q_mean)
+            rf_k_bar = self.adaptive_mu_k(k_mean)
+            mu = 0.5 * (rf_q_bar + rf_k_bar)
+        else:
+            rf_k_bar = self.adaptive_mu_k(k_mean)
+            mu = jnp.zeros_like(rf_k_bar)
+        weights = self._sample_weights(mu, deterministic)
+        log_proj_w_k = prm_projection(
+            k4, weights[..., None, :], normalize=False)[..., 0, :]
+        beta = jnp.einsum(
+            "...cj,...cjd->...cd",
+            jax.nn.softmax(log_proj_w_k, axis=-1),
+            v.reshape(B, nh, c, j, d))
+        return rf_k_bar, beta
+
     def __call__(
         self,
         x: Array,
@@ -158,56 +326,98 @@ class EVA(LocalAttention):
             seq_shape = (x.shape[-2],)
         N = math.prod(seq_shape)
 
-        q, k, v = self.proj_and_split_heads(x)
-
         padding_free = key_padding_mask is None
-        if key_padding_mask is None:
-            key_padding_mask = jnp.zeros((B, N), dtype=bool)
-        kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]  # [b, 1, n, 1]
 
         if self.attn_2d:
             rf_win_size = int(math.sqrt(N // self.num_landmarks))
         else:
             rf_win_size = int(N // self.num_landmarks)
-        rf_w_q = self.window_partition(
-            q, seq_shape, window_size=rf_win_size, ext_window_size=self.ext_size)
-        rf_w_k = self.window_partition(
-            k, seq_shape, window_size=rf_win_size, ext_window_size=self.ext_size)
-        rf_w_v = self.window_partition(
-            v, seq_shape, window_size=rf_win_size, ext_window_size=self.ext_size)
-        # [b, 1, c, j, 1]
-        rf_w_mask = self.window_partition(
-            kpm, seq_shape, window_size=rf_win_size,
-            ext_window_size=self.ext_size, pad_val=1.0,
-        ).astype(bool)
-        rf_w_q = jnp.where(rf_w_mask, 0.0, rf_w_q)
-        rf_w_k = jnp.where(rf_w_mask, 0.0, rf_w_k)
-        rf_w_v = jnp.where(rf_w_mask, 0.0, rf_w_v)
 
-        if self.adaptive_proj in ("default", "no-ln"):
-            rf_q_bar = self.adaptive_mu_q(jnp.mean(rf_w_q, axis=-2))
-            rf_k_bar = self.adaptive_mu_k(jnp.mean(rf_w_k, axis=-2))
-            mu = 0.5 * (rf_q_bar + rf_k_bar)  # [b, h, c, d]
-        else:  # 'none'
-            rf_k_bar = self.adaptive_mu_k(jnp.mean(rf_w_k, axis=-2))
-            mu = jnp.zeros_like(rf_k_bar)
+        # ---- packed zero-transpose path (preferred on TPU) ----
+        if (self.impl in ("auto", "packed")
+                and self.attn_2d
+                and padding_free
+                and self.ext_size == 0
+                and self.attn_drop == 0.0
+                and _on_tpu()):
+            from efficient_attention_tpu.ops.pallas.eva_packed import (
+                supports_packed,
+            )
 
-        # ---- sample omega from the proposal (``eva.py:187-190``) ----
-        if not deterministic:
-            noise = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
-            weights = mu + noise
+            gh, gw = seq_shape
+            ws_ = self.window_size
+            chunk_ok = (rf_win_size > 0
+                        and rf_win_size * rf_win_size * self.num_landmarks
+                        == N
+                        and gh % rf_win_size == 0 and gw % rf_win_size == 0)
+            if (ws_ > 0 and gh % ws_ == 0 and gw % ws_ == 0 and chunk_ok
+                    and supports_packed(B, N, gw, ws_)):
+                return self._forward_packed(
+                    x, seq_shape, rf_win_size, deterministic)
+            if self.impl == "packed":
+                raise ValueError(
+                    "impl='packed' requires 2-D square windows dividing the "
+                    "grid, square chunks, no halo/padding mask, on TPU")
+        elif self.impl == "packed":
+            raise ValueError(
+                "impl='packed' requires attn_2d, no padding mask, no halo, "
+                "attn_drop=0, on TPU")
+
+        q, k, v = self.proj_and_split_heads(x)
+
+        if padding_free and self.ext_size == 0:
+            # ---- natural-layout chunk summaries (TPU fast path) ----
+            # The partition-based path below materializes THREE transposed
+            # copies of q/k/v plus full-tensor mask selects; with no padding
+            # mask the chunk summaries only need reductions/einsums whose
+            # outputs are tiny [b, h, c, d] / [b, h, c, j] tensors, so
+            # compute them directly on the [b, h, n, d] layout (XLA fuses
+            # the 6-D reshape into the reads — no transposed copy lands in
+            # HBM).  Semantics identical to the masked path with an
+            # all-False mask (``eva.py:150-196``).
+            rf_k_bar, beta = self._chunk_summaries_natural(
+                q, k, v, seq_shape, rf_win_size, deterministic)
         else:
-            weights = mu
+            if key_padding_mask is None:
+                key_padding_mask = jnp.zeros((B, N), dtype=bool)
+            kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]
+            rf_w_q = self.window_partition(
+                q, seq_shape, window_size=rf_win_size,
+                ext_window_size=self.ext_size)
+            rf_w_k = self.window_partition(
+                k, seq_shape, window_size=rf_win_size,
+                ext_window_size=self.ext_size)
+            rf_w_v = self.window_partition(
+                v, seq_shape, window_size=rf_win_size,
+                ext_window_size=self.ext_size)
+            # [b, 1, c, j, 1]
+            rf_w_mask = self.window_partition(
+                kpm, seq_shape, window_size=rf_win_size,
+                ext_window_size=self.ext_size, pad_val=1.0,
+            ).astype(bool)
+            rf_w_q = jnp.where(rf_w_mask, 0.0, rf_w_q)
+            rf_w_k = jnp.where(rf_w_mask, 0.0, rf_w_k)
+            rf_w_v = jnp.where(rf_w_mask, 0.0, rf_w_v)
 
-        # [b, h, c, j, d] x [b, h, c, 1, d] -> [b, h, c, j]
-        log_proj_w_k = prm_projection(
-            rf_w_k, weights[..., None, :], normalize=False
-        )[..., 0, :]
-        log_proj_w_k = jnp.where(rf_w_mask[..., 0], MASK_VAL, log_proj_w_k)
-        # per-chunk SNIS value summary (``eva.py:192-196``)
-        beta = jnp.einsum(
-            "...cj,...cjd->...cd", jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v
-        )
+            if self.adaptive_proj in ("default", "no-ln"):
+                rf_q_bar = self.adaptive_mu_q(jnp.mean(rf_w_q, axis=-2))
+                rf_k_bar = self.adaptive_mu_k(jnp.mean(rf_w_k, axis=-2))
+                mu = 0.5 * (rf_q_bar + rf_k_bar)  # [b, h, c, d]
+            else:  # 'none'
+                rf_k_bar = self.adaptive_mu_k(jnp.mean(rf_w_k, axis=-2))
+                mu = jnp.zeros_like(rf_k_bar)
+
+            weights = self._sample_weights(mu, deterministic)
+            # [b, h, c, j, d] x [b, h, c, 1, d] -> [b, h, c, j]
+            log_proj_w_k = prm_projection(
+                rf_w_k, weights[..., None, :], normalize=False
+            )[..., 0, :]
+            log_proj_w_k = jnp.where(
+                rf_w_mask[..., 0], MASK_VAL, log_proj_w_k)
+            # per-chunk SNIS value summary (``eva.py:192-196``)
+            beta = jnp.einsum(
+                "...cj,...cjd->...cd",
+                jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v)
 
         # ---- fused Pallas kernel paths (local + chunk joint softmax in
         # VMEM; see ops/pallas/). Bit-compatible with the XLA path below
@@ -223,20 +433,7 @@ class EVA(LocalAttention):
             and _on_tpu()
         )
         ws = self.window_size
-
-        def _window_bias():
-            if self.use_t5_rpe:
-                i = j = ws * ws if self.attn_2d else ws
-                return self.rel_pos_bias(i, j)[0, :, 0]  # [H, S, S]
-            if self.rpe_enabled:
-                if self.attn_2d:
-                    bias = jnp.take(
-                        self.local_relative_position_bias_table,
-                        self._rpe_index, axis=0,
-                    ).reshape(ws * ws, ws * ws, self.num_heads)
-                    return jnp.transpose(bias, (2, 0, 1))
-                return self.local_relative_position_bias_table
-            return None
+        _window_bias = self._window_bias_general
 
         # The zero-transpose row-major kernel measured slightly SLOWER than
         # the Swin-layout kernel end-to-end on v5e (the layout copies it
@@ -292,12 +489,6 @@ class EVA(LocalAttention):
         num_rfa_chunks = rfa_chunk.shape[-1]
 
         # ---- local branch (``eva.py:204-218``) ----
-        local_dots_mask = jnp.swapaxes(
-            self.window_partition(
-                kpm, seq_shape, ext_window_size=self.ext_size, pad_val=1.0
-            ).astype(bool),
-            -1, -2,
-        )
         log_qk_local_dot = (
             jnp.einsum("bhwie,bhwje->bhwij", w_q, w_k,
                        preferred_element_type=jnp.float32) * self.scale
@@ -307,7 +498,20 @@ class EVA(LocalAttention):
             log_qk_local_dot = log_qk_local_dot + self.rel_pos_bias(i, j)
         if self.rpe_enabled:
             log_qk_local_dot = self.add_rel_pos_bias(log_qk_local_dot)
-        log_qk_local_dot = jnp.where(local_dots_mask, MASK_VAL, log_qk_local_dot)
+        if not (padding_free and self.ext_size == 0):
+            # halo'd windows mask their pad even without a padding mask
+            if padding_free:
+                key_padding_mask = jnp.zeros((B, N), dtype=bool)
+            kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]
+            local_dots_mask = jnp.swapaxes(
+                self.window_partition(
+                    kpm, seq_shape, ext_window_size=self.ext_size,
+                    pad_val=1.0,
+                ).astype(bool),
+                -1, -2,
+            )
+            log_qk_local_dot = jnp.where(
+                local_dots_mask, MASK_VAL, log_qk_local_dot)
         local_len = log_qk_local_dot.shape[-1]
 
         # ---- fused normalizer over [local | chunks] (``eva.py:222-227``) ----

@@ -106,9 +106,13 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
     v2 = w_v.reshape(B, H, G * S, D)
     rf2, beta2 = rf_k_bar, beta
 
-    # expand the per-window bias [H, S, S] block-diagonally to
-    # [H, TGS, TGS + C] once in XLA (tiny, resident in VMEM per head),
-    # with the off-diagonal mask folded in as MASK_VAL
+    # expand the per-window bias [H, S, S] to [H, TGS, TGS + C] with the
+    # off-block-diagonal mask folded in as MASK_VAL.  The expansion is done
+    # as two tiny permutation matmuls: (P @ bias @ P^T)[t, u] =
+    # bias[t mod S, u mod S] everywhere — wrong on cross-window entries, but
+    # those get MASK_VAL added so the error never survives the softmax.
+    # (A literal eye-einsum block-diag expansion costs ~1ms/call in XLA —
+    # 2.4x the kernel itself — because of its scatter-shaped reshape.)
     import numpy as np
 
     t = np.arange(TGS)
@@ -119,11 +123,12 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
     if bias is None:
         big_bias = jnp.broadcast_to(mask_add, (H, TGS, TGS + C))
     else:
-        eye = jnp.eye(TG, dtype=jnp.float32)
-        big_bias = jnp.einsum(
-            "tu,hij->htiuj", eye, bias.astype(jnp.float32)
-        ).reshape(H, TGS, TGS)
-        big_bias = jnp.pad(big_bias, ((0, 0), (0, 0), (0, C))) + mask_add
+        P = np.zeros((TGS, S), np.float32)
+        P[t, t % S] = 1.0
+        Pj = jnp.asarray(P)
+        tiled = jnp.einsum("ti,hij,uj->htu", Pj, bias.astype(jnp.float32),
+                           Pj)
+        big_bias = jnp.pad(tiled, ((0, 0), (0, 0), (0, C))) + mask_add
 
     grid = (H, B // RB, G // TG)
     row_spec = pl.BlockSpec((RB, 1, TGS, D), lambda h, b, j: (b, h, j, 0),
@@ -143,8 +148,10 @@ def _eva_fused_fwd(w_q, w_k, w_v, rf_k_bar, beta, bias, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
+        # two dense matmuls of [TGS, D] x [D, TGS+C] per (b, h, window-group),
+        # with B*H*(G/TG) groups
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * G * TGS * (TGS + C) // TG * D * 2,
+            flops=2 * 2 * (B * H * (G // TG)) * TGS * (TGS + C) * D,
             bytes_accessed=4 * B * H * G * S * D * 2,
             transcendentals=B * H * G * S * (TGS + C),
         ),

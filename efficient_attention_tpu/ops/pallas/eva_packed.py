@@ -1,0 +1,243 @@
+"""Packed-layout fused EVA attention: zero-transpose, zero-relayout.
+
+The decisive cost of a Pallas attention kernel inside a jitted ViT layer is
+not its FLOPs — it is the *fusion boundary*: a custom call forces XLA to
+materialize its operands, so a kernel that wants head-major ``[B, H, N, D]``
+inputs makes the producer materialize three transposed copies (and the
+consumer un-transpose the output).  Measured on v5e this costs ~2.5x the
+kernel's own runtime.
+
+This kernel therefore consumes the raw fused-projection output
+``qkv = x @ W_qkv`` in its natural ``[B, N, 3*H*D]`` layout (one operand,
+one DMA stream) and writes ``[B, N, H*D]`` — exactly the layout the output
+projection wants.  Heads live in the lane dimension and are extracted with
+static in-kernel lane slices (D = head_dim multiples of 64 keep these on
+vreg boundaries).  Chunk summaries ``rf_k_bar``/``beta`` arrive packed as
+``[B, C, H*D]`` likewise.
+
+Window structure is row-major (as in ``eva_rowmajor.py``): a row block of
+``TGS = k * W * ws`` tokens covers whole window-rows of the 2-D grid; the
+cross-window visibility pattern and the RPE bias are folded into a resident
+per-head additive table ``[H, TGS, TGS + C]`` built with two tiny
+permutation matmuls (cross-window entries of the permuted bias are wrong
+but carry MASK_VAL, so they never survive the softmax).
+
+Reference semantics: the joint ``softmax([local | chunk])`` of
+``efficient-attention/efficient_attention/eva.py:200-227``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VAL = -5e4
+
+
+def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
+    """(RB batch rows/step, TGS tokens/step): whole window-rows, 8-aligned."""
+    base = W * ws
+    tgs = base
+    while tgs % 8 != 0 and tgs < n:
+        tgs += base
+    if tgs % 8 != 0 or n % tgs != 0:
+        return None
+    for rb in (4, 2, 1):
+        # fp32 logits [RB, TGS, TGS+C] dominate VMEM; keep <= ~3MB
+        if b % rb == 0 and rb * tgs * (tgs + 128) * 4 <= 3_200_000:
+            return rb, tgs
+    return None
+
+
+def supports_packed(b: int, n: int, W: int, ws: int) -> bool:
+    return W % ws == 0 and ws > 0 and _pick_rows(b, n, W, ws) is not None
+
+
+def _rowmajor_vis(W: int, ws: int, tgs: int) -> np.ndarray:
+    """Static [TGS, TGS] visibility: same 2-D window (chunk columns are
+    handled by the separate chunk branch and are always visible)."""
+    t = np.arange(tgs)
+    win = (t // (W * ws)) * (W // ws) + (t % W) // ws
+    return win[:, None] == win[None, :]
+
+
+def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
+            *, scale: float, nh: int, d: int, tgs: int, c: int):
+    """One grid step: RB batch rows x TGS tokens, all heads in lanes.
+
+    Head extraction slices the *refs* (strided VMEM loads land at lane
+    offset 0); local and chunk branches stay un-concatenated — they share
+    one max/normalizer instead, which is the same joint softmax without any
+    tpu.concatenate (Mosaic cannot concat operands with mismatched lane
+    offsets).
+    """
+    for h in range(nh):
+        qh = qkv_ref[:, :, h * d:(h + 1) * d]            # [RB, TGS, D]
+        kh = qkv_ref[:, :, (nh + h) * d:(nh + h + 1) * d]
+        vh = qkv_ref[:, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
+        rfh = rf_ref[:, :, h * d:(h + 1) * d]            # [RB, C, D]
+        bth = beta_ref[:, :, h * d:(h + 1) * d]
+        local = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[h][None]                    # [RB, TGS, TGS]
+        chunk = jax.lax.dot_general(
+            qh, rfh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [RB, TGS, C]
+        m = jnp.maximum(jnp.max(local, axis=-1, keepdims=True),
+                        jnp.max(chunk, axis=-1, keepdims=True))
+        p_l = jnp.exp(local - m)
+        p_c = jnp.exp(chunk - m)
+        denom = (jnp.sum(p_l, axis=-1, keepdims=True)
+                 + jnp.sum(p_c, axis=-1, keepdims=True))
+        out = jax.lax.dot_general(
+            p_l.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(
+            p_c.astype(bth.dtype), bth, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, h * d:(h + 1) * d] = (out / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "nh", "W", "ws", "interpret"))
+def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    RB, TGS = _pick_rows(B, N, W, ws)
+    grid = (B // RB, N // TGS)
+    qkv_spec = pl.BlockSpec((RB, TGS, three_hd), lambda b, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    cd_spec = pl.BlockSpec((RB, C, nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RB, TGS, nh * d), lambda b, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, scale=scale, nh=nh, d=d, tgs=TGS, c=C)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[qkv_spec, cd_spec, cd_spec, bias_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, nh * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * nh * N * (TGS + C) * d,
+            bytes_accessed=qkv.size * 2 + B * N * nh * d * 2,
+            transcendentals=B * nh * N * (TGS + C),
+        ),
+        interpret=interpret,
+    )(qkv, rf_p, beta_p, bias_big)
+
+
+def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
+    """Ground-truth joint softmax on the packed layout (VJP source and test
+    oracle)."""
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    q, k, v = (qkv.reshape(B, N, 3, nh, d)[:, :, i] for i in range(3))
+    rf = rf_p.reshape(B, C, nh, d)
+    bt = beta_p.reshape(B, C, nh, d)
+    t = np.arange(N)
+    win = (t // (W * ws)) * (W // ws) + (t % W) // ws
+    same = jnp.asarray(win[:, None] == win[None, :])
+    local = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        # bias [H, S, S] in Swin-local coords; permute to token coords
+        ws2 = ws * ws
+        local_idx = ((t // W) % ws) * ws + (t % W) % ws
+        R = np.zeros((N, ws2), np.float32)
+        R[np.arange(N), local_idx] = 1.0
+        Rj = jnp.asarray(R)
+        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
+                              Rj)
+        local = local + bias_tok[None]
+    local = jnp.where(same[None, None], local, MASK_VAL)
+    chunk = jnp.einsum("bnhd,bchd->bhnc", q, rf,
+                       preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(
+        jnp.concatenate([local, chunk], axis=-1), axis=-1).astype(v.dtype)
+    out = (jnp.einsum("bhnm,bmhd->bnhd", attn[..., :N], v)
+           + jnp.einsum("bhnc,bchd->bnhd", attn[..., N:], bt))
+    return out.reshape(B, N, nh * d)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_differentiable(scale, nh, W, ws, has_bias, interpret):
+    @jax.custom_vjp
+    def f(qkv, rf_p, beta_p, bias_big, bias):
+        return _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws,
+                    interpret=interpret)
+
+    def fwd(qkv, rf_p, beta_p, bias_big, bias):
+        return f(qkv, rf_p, beta_p, bias_big, bias), (
+            qkv, rf_p, beta_p, bias)
+
+    def bwd(res, g):
+        qkv, rf_p, beta_p, bias = res
+        ref = lambda qkv, rf_p, beta_p, bias: _xla_reference(  # noqa: E731
+            qkv, rf_p, beta_p, scale, nh, W, ws,
+            bias if has_bias else None)
+        _, vjp = jax.vjp(ref, qkv, rf_p, beta_p, bias)
+        dqkv, drf, dbeta, dbias = vjp(g)
+        # bias_big is derived from bias OUTSIDE the custom_vjp boundary, so
+        # its cotangent here is zero — dbias already carries the full
+        # gradient (the reference recomputes the permuted bias internally)
+        tgs = _pick_rows(qkv.shape[0], qkv.shape[1], W, ws)[1]
+        dbig = jnp.zeros((nh, tgs, tgs), jnp.float32)
+        return dqkv, drf, dbeta, dbig, dbias
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def eva_attention_packed(
+    qkv: jax.Array,       # [B, N, 3*H*D] fused projection output
+    rf_k_bar: jax.Array,  # [B, C, H*D]
+    beta: jax.Array,      # [B, C, H*D]
+    scale: float,
+    num_heads: int,
+    W: int,               # token-grid width
+    ws: int,              # window side
+    bias: Optional[jax.Array] = None,  # [H, S, S] Swin-local RPE bias
+    interpret: bool = False,
+) -> jax.Array:
+    """Zero-transpose fused EVA attention; returns ``[B, N, H*D]``."""
+    B, N, three_hd = qkv.shape
+    nh = num_heads
+    d = three_hd // (3 * nh)
+    C = rf_k_bar.shape[1]
+    _, TGS = _pick_rows(B, N, W, ws)
+
+    vis = _rowmajor_vis(W, ws, TGS)
+    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    if bias is None:
+        bias_big = jnp.broadcast_to(mask_add, (nh, TGS, TGS))
+        bias_in = jnp.zeros((nh, ws * ws, ws * ws), jnp.float32)
+    else:
+        # permute the Swin-local [S, S] bias into row-major token coords via
+        # two tiny permutation matmuls; cross-window entries are wrong but
+        # masked by mask_add
+        t = np.arange(TGS)
+        local = ((t // W) % ws) * ws + (t % W) % ws
+        R = np.zeros((TGS, ws * ws), np.float32)
+        R[np.arange(TGS), local] = 1.0
+        Rj = jnp.asarray(R)
+        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
+                              Rj)
+        bias_big = bias_tok + mask_add
+        bias_in = bias
+    f = _make_differentiable(float(scale), nh, W, ws, bias is not None,
+                             interpret)
+    return f(qkv, rf_k_bar, beta, bias_big, bias_in)

@@ -179,3 +179,98 @@ class TestRowMajorKernel:
         gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(q, k, v, rf, beta)
         assert all(jnp.isfinite(g).all() for g in gk)
         assert all(float(jnp.abs(g).sum()) > 0 for g in gk)
+
+
+class TestPackedKernel:
+    """Packed zero-transpose kernel (``ops/pallas/eva_packed.py``) vs its
+    XLA reference, in interpreter mode."""
+
+    def _inputs(self, rng, Bp=2, Wimg=8, ws=4, nh=3, d=16, c=4):
+        N = Wimg * Wimg
+        keys = jax.random.split(rng, 4)
+        qkv = jax.random.normal(keys[0], (Bp, N, 3 * nh * d))
+        rf = jax.random.normal(keys[1], (Bp, c, nh * d))
+        beta = jax.random.normal(keys[2], (Bp, c, nh * d))
+        bias = jax.random.normal(keys[3], (nh, ws * ws, ws * ws)) * 0.1
+        return qkv, rf, beta, bias
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_matches_reference(self, rng, with_bias):
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+            eva_attention_packed,
+        )
+
+        Wimg, ws, nh, d = 8, 4, 3, 16
+        qkv, rf, beta, bias = self._inputs(rng, Wimg=Wimg, ws=ws, nh=nh, d=d)
+        scale = d ** -0.5
+        b = bias if with_bias else None
+        ref = _xla_reference(qkv, rf, beta, scale, nh, Wimg, ws, b)
+        out = eva_attention_packed(qkv, rf, beta, scale, nh, Wimg, ws,
+                                   bias=b, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+    def test_grads_match_reference(self, rng):
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+            eva_attention_packed,
+        )
+
+        Wimg, ws, nh, d = 8, 4, 3, 16
+        qkv, rf, beta, bias = self._inputs(rng, Wimg=Wimg, ws=ws, nh=nh, d=d)
+        scale = d ** -0.5
+
+        def loss_pallas(qkv, rf, beta, bias):
+            return jnp.sum(eva_attention_packed(
+                qkv, rf, beta, scale, nh, Wimg, ws, bias=bias,
+                interpret=True) ** 2)
+
+        def loss_ref(qkv, rf, beta, bias):
+            return jnp.sum(_xla_reference(
+                qkv, rf, beta, scale, nh, Wimg, ws, bias) ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(qkv, rf, beta, bias)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qkv, rf, beta, bias)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    def test_eva_module_packed_summaries_match(self, rng):
+        """The packed-layout chunk summaries equal the partitioned ones."""
+        from efficient_attention_tpu.attention import EVA
+
+        Bp, g, dim, nh = 2, 8, 48, 3
+        x = jax.random.normal(rng, (Bp, g, g, dim))
+        kw = dict(dim=dim, num_heads=nh, window_size=4, num_landmarks=4,
+                  attn_2d=True, use_rpe=True)
+        m_xla = EVA(**kw, impl="xla")
+        params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+        out_xla = m_xla.apply(params, x, deterministic=True)
+
+        # impl='packed' is TPU-gated; exercise its building blocks directly
+        import math as _math
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+        )
+
+        def packed_forward(params, x):
+            def run(mod, x):
+                N = g * g
+                qkv = mod.qkv(x.reshape(Bp, N, dim))
+                rf_p, beta_p = mod._chunk_summaries_packed(
+                    qkv, (g, g), 4, True)
+                bias = mod._window_bias_general()
+                out = _xla_reference(qkv, rf_p, beta_p, mod.scale, nh, g,
+                                     4, bias)
+                y = mod.proj(out.reshape(Bp, g, g, dim))
+                return mod.proj_dropout(y, deterministic=True)
+
+            return nn_apply(m_xla, run, params, x)
+
+        from flax import linen as nn
+
+        def nn_apply(mod, fn, params, x):
+            return nn.apply(fn, mod)(params, x)
+
+        out_packed = packed_forward(params, x)
+        np.testing.assert_allclose(np.asarray(out_packed),
+                                   np.asarray(out_xla), atol=2e-5, rtol=1e-4)
