@@ -6,9 +6,20 @@ Mirrors the reference measurement protocol (``vit/utils.py:249-273``,
 BASELINE.json north-star config — comparing EVA (49 landmarks, window 7,
 2-D RPE) against exact softmax attention.
 
+The EVA model is built with ``impl='packed'`` (the fused zero-transpose
+Pallas kernel), which RAISES if the kernel cannot engage — so
+``pallas_engaged: true`` in the output is load-bearing, not aspirational.
+
+Also reports the attention-module-level speedup (EVA module vs softmax MHA
+module, both including qkv/out projections) at seq 784 and seq 196 — the
+second tracked metric named by BASELINE.json.  Module timings use the
+slope method (run the module n1 and n2 times inside one jit and divide the
+difference) because this environment has a fixed ~30ms host<->device
+round-trip per fetch that would otherwise dominate sub-millisecond numbers.
+
 Prints ONE JSON line:
   {"metric": ..., "value": imgs/sec (EVA), "unit": "images/sec",
-   "vs_baseline": EVA-vs-softmax speedup on the same chip}
+   "vs_baseline": EVA-vs-softmax speedup on the same chip, "detail": {...}}
 """
 import json
 import time
@@ -16,22 +27,25 @@ import time
 import jax
 import jax.numpy as jnp
 
+from efficient_attention_tpu import AttentionFactory
 from efficient_attention_tpu.models import create_model
 
 BATCH = 128
 ITERS = 30
 WARMUP = 5
 
+EVA_ARGS = {
+    "window_size": 7,
+    "num_landmarks": 49,
+    "attn_2d": True,
+    "use_rpe": True,
+    "adaptive_proj": "default",
+}
 
-def build(attn_name: str):
+
+def build(attn_name: str, impl: str = "auto"):
     if attn_name == "eva":
-        attn_args = {
-            "window_size": 7,
-            "num_landmarks": 49,
-            "attn_2d": True,
-            "use_rpe": True,
-            "adaptive_proj": "default",
-        }
+        attn_args = dict(EVA_ARGS, impl=impl)
     else:
         attn_args = {}
     return create_model(
@@ -71,9 +85,65 @@ def throughput(model, dtype=jnp.bfloat16) -> float:
     return BATCH * ITERS / best
 
 
+def _slope_time_ms(fn, first, *args, n1=10, n2=60) -> float:
+    """ms per fn-call via the slope method (cancels the tunnel's fixed
+    ~30ms round-trip); fn(first, *args) must return an array of
+    first.shape."""
+    times = {}
+    for iters in (n1, n2):
+        @jax.jit
+        def loop(first, *a, _n=iters):
+            def body(c, _):
+                return fn(c, *a).astype(first.dtype), ()
+
+            c, _ = jax.lax.scan(body, first, None, length=_n)
+            return c.astype(jnp.float32).sum()
+
+        acc = loop(first, *args) + loop(first, *args)
+        float(acc)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(first, *args))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    return (times[n2] - times[n1]) / (n2 - n1) * 1e3
+
+
+def attention_module_ms(attn_name: str, grid: int, dim=192, heads=3,
+                        impl: str = "packed") -> float:
+    """Attention-module forward ms/layer at a [B, grid, grid, dim] input
+    (includes qkv/out projections — the whole swappable unit)."""
+    args = {"dim": dim, "num_heads": heads}
+    if attn_name == "eva":
+        args.update(EVA_ARGS, impl=impl)
+    m = AttentionFactory.build_attention(attn_name, args)
+    x = jnp.ones((BATCH, grid, grid, dim), jnp.bfloat16)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x,
+                                    deterministic=True))()
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def fwd(x, p):
+        return m.apply(p, x, deterministic=True).astype(x.dtype)
+
+    return _slope_time_ms(fwd, x, params)
+
+
 def main():
-    eva_ips = throughput(build("eva"))
+    # e2e: EVA with the packed kernel FORCED (raises if it cannot engage)
+    eva_ips = throughput(build("eva", impl="packed"))
     softmax_ips = throughput(build("softmax"))
+
+    kernel = {}
+    for grid in (28, 14):  # seq 784 / 196
+        eva_ms = attention_module_ms("eva", grid)
+        sm_ms = attention_module_ms("softmax", grid)
+        kernel[grid * grid] = {
+            "eva_ms_per_layer": round(eva_ms, 3),
+            "softmax_ms_per_layer": round(sm_ms, 3),
+            "speedup": round(sm_ms / eva_ms, 3),
+        }
+
     print(json.dumps({
         "metric": "deit_tiny_p8_eva_images_per_sec",
         "value": round(eva_ips, 2),
@@ -84,6 +154,9 @@ def main():
             "batch": BATCH,
             "seq_len": 784,
             "dtype": "bfloat16",
+            "pallas_engaged": True,  # impl='packed' raises otherwise
+            "attn_module_seq784": kernel[784],
+            "attn_module_seq196": kernel[196],
             "device": str(jax.devices()[0]),
         },
     }))

@@ -46,7 +46,12 @@ def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
     while tgs % 8 != 0 and tgs < n:
         tgs += base
     if tgs % 8 != 0 or n % tgs != 0:
-        return None
+        # a block spanning the FULL token axis is layout-legal regardless of
+        # 8-divisibility (Mosaic pads full-dim blocks internally)
+        if n % base == 0:
+            tgs = n
+        else:
+            return None
     for rb in (4, 2, 1):
         # fp32 logits [RB, TGS, TGS+C] dominate VMEM; keep <= ~3MB
         if b % rb == 0 and rb * tgs * (tgs + 128) * 4 <= 3_200_000:
