@@ -15,12 +15,13 @@ static in-kernel lane slices (D = head_dim multiples of 64 keep these on
 vreg boundaries).  Chunk summaries ``rf_k_bar``/``beta`` arrive packed as
 ``[B, C, H*D]`` likewise.
 
-Window structure is row-major (as in ``eva_rowmajor.py``): a row block of
-``TGS = k * W * ws`` tokens covers whole window-rows of the 2-D grid; the
-cross-window visibility pattern and the RPE bias are folded into a resident
-per-head additive table ``[H, TGS, TGS + C]`` built with two tiny
-permutation matmuls (cross-window entries of the permuted bias are wrong
-but carry MASK_VAL, so they never survive the softmax).
+Window structure is row-major (as in ``eva_rowmajor.py``): a grid step
+covers one window-row strip of ``TGS = W * ws`` tokens (the smallest row
+block containing whole windows — smaller strips cut masked exp waste and
+logits lane-tiles); the cross-window visibility pattern and the RPE bias
+are folded into a resident per-head additive table ``[H, TGS, TGS]`` built
+with two tiny permutation matmuls (cross-window entries of the permuted
+bias are wrong but carry MASK_VAL, so they never survive the softmax).
 
 Reference semantics: the joint ``softmax([local | chunk])`` of
 ``efficient-attention/efficient_attention/eva.py:200-227``.
@@ -40,20 +41,20 @@ MASK_VAL = -5e4
 
 
 def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
-    """(RB batch rows/step, TGS tokens/step): whole window-rows, 8-aligned."""
-    base = W * ws
-    tgs = base
-    while tgs % 8 != 0 and tgs < n:
-        tgs += base
-    if tgs % 8 != 0 or n % tgs != 0:
-        # a block spanning the FULL token axis is layout-legal regardless of
-        # 8-divisibility (Mosaic pads full-dim blocks internally)
-        if n % base == 0:
-            tgs = n
-        else:
-            return None
-    for rb in (4, 2, 1):
-        # fp32 logits [RB, TGS, TGS+C] dominate VMEM; keep <= ~3MB
+    """(RB batch rows/step, TGS tokens/step).
+
+    TGS = one full window-row strip (W*ws tokens): the smallest row block
+    containing whole windows.  Smaller strips directly cut the masked
+    VPU/exp waste AND the lane-tiles per logits row, and the 8-divisibility
+    rule is dodged by reshaping the token axis to [n/TGS, TGS] outside the
+    kernel — a free reshape — so TGS becomes a full (hence layout-legal)
+    block dimension.
+    """
+    tgs = W * ws
+    if tgs <= 0 or n % tgs != 0:
+        return None
+    for rb in (8, 4, 2, 1):
+        # fp32 logits [RB, TGS, TGS] + [RB, TGS, C] dominate VMEM
         if b % rb == 0 and rb * tgs * (tgs + 128) * 4 <= 3_200_000:
             return rb, tgs
     return None
@@ -82,9 +83,9 @@ def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
     offsets).
     """
     for h in range(nh):
-        qh = qkv_ref[:, :, h * d:(h + 1) * d]            # [RB, TGS, D]
-        kh = qkv_ref[:, :, (nh + h) * d:(nh + h + 1) * d]
-        vh = qkv_ref[:, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
+        qh = qkv_ref[:, 0, :, h * d:(h + 1) * d]         # [RB, TGS, D]
+        kh = qkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d]
+        vh = qkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
         rfh = rf_ref[:, :, h * d:(h + 1) * d]            # [RB, C, D]
         bth = beta_ref[:, :, h * d:(h + 1) * d]
         local = jax.lax.dot_general(
@@ -107,7 +108,8 @@ def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
         out = out + jax.lax.dot_general(
             p_c.astype(bth.dtype), bth, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        o_ref[:, :, h * d:(h + 1) * d] = (out / denom).astype(o_ref.dtype)
+        o_ref[:, 0, :, h * d:(h + 1) * d] = \
+            (out / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -117,22 +119,25 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
     d = three_hd // (3 * nh)
     C = rf_p.shape[1]
     RB, TGS = _pick_rows(B, N, W, ws)
-    grid = (B // RB, N // TGS)
-    qkv_spec = pl.BlockSpec((RB, TGS, three_hd), lambda b, j: (b, j, 0),
+    ns = N // TGS
+    qkv4 = qkv.reshape(B, ns, TGS, three_hd)  # free: contiguous split
+    grid = (B // RB, ns)
+    qkv_spec = pl.BlockSpec((RB, 1, TGS, three_hd),
+                            lambda b, j: (b, j, 0, 0),
                             memory_space=pltpu.VMEM)
     cd_spec = pl.BlockSpec((RB, C, nh * d), lambda b, j: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((RB, TGS, nh * d), lambda b, j: (b, j, 0),
+    out_spec = pl.BlockSpec((RB, 1, TGS, nh * d), lambda b, j: (b, j, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, scale=scale, nh=nh, d=d, tgs=TGS, c=C)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[qkv_spec, cd_spec, cd_spec, bias_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, nh * d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, ns, TGS, nh * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
@@ -141,7 +146,8 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
             transcendentals=B * nh * N * (TGS + C),
         ),
         interpret=interpret,
-    )(qkv, rf_p, beta_p, bias_big)
+    )(qkv4, rf_p, beta_p, bias_big)
+    return out.reshape(B, N, nh * d)
 
 
 def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
