@@ -24,16 +24,24 @@ class CheckpointManager:
         keep_last: int = 3,
         save_interval_steps: int = 1,
         async_save: bool = True,
-        best_fn: Optional[str] = None,  # metric name; higher is better
+        best_fn: Optional[str] = None,  # metric name to rank checkpoints by
+        best_mode: Optional[str] = None,  # 'max' | 'min'; inferred if None
     ):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        if best_fn and best_mode is None:
+            # loss-like metric names rank lower-is-better
+            lowered = best_fn.lower()
+            best_mode = ("min" if any(tok in lowered for tok in
+                                      ("loss", "ppl", "perplexity", "nll",
+                                       "error", "wer"))
+                         else "max")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=keep_last,
             save_interval_steps=save_interval_steps,
             enable_async_checkpointing=async_save,
             best_fn=(lambda m: m[best_fn]) if best_fn else None,
-            best_mode="max" if best_fn else "max",
+            best_mode=best_mode or "max",
         )
         self.manager = ocp.CheckpointManager(directory, options=options)
 

@@ -197,9 +197,12 @@ def make_optimizer(
         chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
                                  weight_decay=weight_decay, mask=mask))
     elif name == "adam":
-        chain.append(optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps))
-        if weight_decay:
-            chain.insert(-1, optax.add_decayed_weights(weight_decay, mask))
+        # fairseq's Adam applies DECOUPLED (AdamW-style) weight decay
+        # (``fairseq/optim/adam.py:229-231``: p.add_(p, alpha=-wd*lr) outside
+        # the moment update), so coupled L2 via add_decayed_weights would
+        # diverge from reference semantics.
+        chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=weight_decay, mask=mask))
     elif name == "nag":
         # fairseq NAG (LM recipe: ``--optimizer nag --lr 1.0``)
         chain.append(optax.sgd(schedule, momentum=momentum, nesterov=True))
