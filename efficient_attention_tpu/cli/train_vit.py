@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mixup-prob", default=1.0, type=float)
     parser.add_argument("--mixup-switch-prob", default=0.5, type=float)
     parser.add_argument("--smoothing", default=0.1, type=float)
+    # augmentation parity with vit/main.py:105-124
+    parser.add_argument("--aa", default="rand-m9-mstd0.5-inc1", type=str,
+                        help="auto-augment policy ('none' disables)")
+    parser.add_argument("--color-jitter", default=0.4, type=float)
+    parser.add_argument("--train-interpolation", default="bicubic", type=str)
+    parser.add_argument("--reprob", default=0.25, type=float)
+    parser.add_argument("--remode", default="pixel", type=str)
+    parser.add_argument("--recount", default=1, type=int)
     parser.add_argument("--repeated-aug", action="store_true", default=False)
     parser.add_argument("--data-path", default=None, type=str)
     parser.add_argument("--data-set", default="SYNTHETIC", type=str,
@@ -96,19 +104,30 @@ def parse_args(argv=None):
 
 
 def build_dataset(args, train: bool):
+    from efficient_attention_tpu.data.cifar import CIFARDataset
     from efficient_attention_tpu.data.imagenet import (
         ImageFolderDataset,
         SyntheticImageDataset,
     )
+    from efficient_attention_tpu.data.randaugment import build_train_augment
 
     if args.data_set == "SYNTHETIC" or not args.data_path:
         return SyntheticImageDataset(
             num_samples=args.batch_size * 16 if train else args.batch_size * 4,
             img_size=args.input_size, num_classes=args.num_classes,
             train=train)
+    aa = getattr(args, "aa", None)
+    aa = None if (not aa or aa.lower() == "none") else aa
+    augment = (build_train_augment(aa, getattr(args, "color_jitter", 0.0))
+               if train else None)
+    if args.data_set in ("CIFAR10", "CIFAR100"):
+        return CIFARDataset(
+            args.data_path, num_classes=10 if args.data_set == "CIFAR10"
+            else 100, img_size=args.input_size, train=train, augment=augment)
     split = "train" if train else "val"
     return ImageFolderDataset(os.path.join(args.data_path, split),
-                              img_size=args.input_size, train=train)
+                              img_size=args.input_size, train=train,
+                              augment=augment)
 
 
 def main(args) -> dict:
@@ -210,9 +229,16 @@ def main(args) -> dict:
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, num_classes=args.num_classes)
+    erasing_cfg = None
+    if getattr(args, "reprob", 0.0) > 0:
+        from efficient_attention_tpu.data.erasing import ErasingConfig
+
+        erasing_cfg = ErasingConfig(
+            prob=args.reprob, mode=args.remode, count=args.recount)
     train_step = make_vit_train_step(
         mixup_cfg, num_classes=args.num_classes,
-        label_smoothing=args.smoothing, accum_steps=args.accum_steps)
+        label_smoothing=args.smoothing, accum_steps=args.accum_steps,
+        erasing_cfg=erasing_cfg)
     jit_train = jax.jit(
         train_step,
         in_shardings=(state_sharding, data_sharding, data_sharding, None),

@@ -32,10 +32,14 @@ def find_classes(root: str) -> Tuple[List[str], dict]:
 class ImageFolderDataset:
     """Minimal ImageFolder (``datasets.ImageFolder`` equivalent)."""
 
-    def __init__(self, root: str, img_size: int = 224, train: bool = True):
+    def __init__(self, root: str, img_size: int = 224, train: bool = True,
+                 augment=None):
         self.root = root
         self.img_size = img_size
         self.train = train
+        # optional fn(PIL.Image, rng) -> PIL.Image applied after RRC+flip
+        # (RandAugment / color jitter; see data/randaugment.py)
+        self.augment = augment
         classes, class_to_idx = find_classes(root)
         self.classes = classes
         self.samples: List[Tuple[str, int]] = []
@@ -71,6 +75,8 @@ class ImageFolderDataset:
             img = img.resize((s, s), Image.BICUBIC)
             if rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if self.augment is not None:
+                img = self.augment(img, rng)
         else:
             # eval: resize short side to s * 256/224 then center crop
             # (``datasets.py:60-81``)

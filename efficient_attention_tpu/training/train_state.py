@@ -70,11 +70,15 @@ def make_vit_train_step(
     num_classes: int,
     label_smoothing: float = 0.1,
     accum_steps: int = 1,
+    erasing_cfg=None,
 ):
     """Jittable ViT train step (replaces ``vit/engine.py:train_one_epoch``
     inner loop).  With ``accum_steps > 1`` microbatches are scanned, matching
     fairseq's GroupedIterator/no_sync accumulation (``trainer.py:735-801``) —
     no psum per microbatch, gradients averaged once at the end by XLA.
+    ``erasing_cfg`` (``data.erasing.ErasingConfig``) enables device-side
+    random erasing before mixup, matching the DeiT transform order
+    (normalize -> erase per image, then batch mixup).
     """
 
     def loss_fn(params, apply_fn, images, targets, rng):
@@ -85,6 +89,13 @@ def make_vit_train_step(
         return soft_target_cross_entropy(logits, targets)
 
     def single_grad(params, apply_fn, rng, images, labels):
+        if erasing_cfg is not None and erasing_cfg.prob > 0:
+            from efficient_attention_tpu.data.erasing import (
+                apply_random_erasing,
+            )
+
+            erase_rng, rng = jax.random.split(rng)
+            images = apply_random_erasing(erase_rng, images, erasing_cfg)
         if mixup_cfg is not None:
             mix_rng, rng = jax.random.split(rng)
             images, targets = apply_mixup(mix_rng, images, labels, mixup_cfg)
@@ -133,7 +144,7 @@ def make_vit_eval_step():
     def eval_step(params, apply_fn, images, labels):
         logits = apply_fn(params, images, deterministic=True)
         top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        top5_pred = jax.lax.top_k(logits, 5)[1]
+        top5_pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
         top5 = jnp.mean(
             jnp.any(top5_pred == labels[:, None], axis=-1).astype(jnp.float32))
         loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
