@@ -53,6 +53,8 @@ def build_parser():
     p.add_argument("--save-interval-updates", type=int, default=1000)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=3072)
+    from efficient_attention_tpu.parallel import add_distributed_args
+    add_distributed_args(p)
     return p
 
 
@@ -113,6 +115,9 @@ def build_model(args, vocab_size):
 
 
 def main(args) -> dict:
+    from efficient_attention_tpu.parallel import init_distributed_from_args
+
+    init_distributed_from_args(args)  # no-op unless --distributed/env
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -49,6 +49,8 @@ def build_parser():
     p.add_argument("--keep-last-epochs", type=int, default=10)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=1024)
+    from efficient_attention_tpu.parallel import add_distributed_args
+    add_distributed_args(p)
     return p
 
 

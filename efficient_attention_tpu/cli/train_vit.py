@@ -80,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh-model", default=1, type=int)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--tensorboard-logdir", default=None, type=str)
+    from efficient_attention_tpu.parallel import add_distributed_args
+    add_distributed_args(parser)
     return parser
 
 
@@ -132,6 +134,14 @@ def build_dataset(args, train: bool):
 
 def main(args) -> dict:
     import jax
+
+    from efficient_attention_tpu.parallel import (
+        init_distributed_from_args,
+        is_primary,
+        put_batch,
+    )
+
+    init_distributed_from_args(args)  # no-op unless --distributed/env
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -274,11 +284,14 @@ def main(args) -> dict:
     history = {}
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
+        nproc, pid = jax.process_count(), jax.process_index()
         if args.repeated_aug:
-            idx = ra_sampler_indices(len(train_ds), epoch, args.seed)
+            idx = ra_sampler_indices(len(train_ds), epoch, args.seed,
+                                     num_replicas=nproc, rank=pid)
         else:
-            idx = shard_indices(len(train_ds), epoch, args.seed)
-        loader = PrefetchLoader(train_ds, global_batch, idx,
+            idx = shard_indices(len(train_ds), epoch, args.seed,
+                                num_replicas=nproc, rank=pid)
+        loader = PrefetchLoader(train_ds, global_batch // nproc, idx,
                                 num_threads=args.num_workers, seed=epoch)
         t0 = time.time()
         for i, (imgs, labels) in enumerate(
@@ -286,7 +299,8 @@ def main(args) -> dict:
             if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                 break
             state, metrics = jit_train(
-                state, jnp.asarray(imgs), jnp.asarray(labels), step_rng)
+                state, put_batch(imgs, data_sharding),
+                put_batch(labels, data_sharding), step_rng)
             logger.update(loss=float(metrics.loss),
                           grad_norm=float(metrics.grad_norm))
             if not math.isfinite(float(metrics.loss)):
@@ -297,7 +311,8 @@ def main(args) -> dict:
         record = {"epoch": epoch, **logger.global_avg_dict(),
                   **{f"val_{k}": v for k, v in val_stats.items()},
                   "epoch_time": time.time() - t0}
-        write_log_line(log_path, record)
+        if is_primary():
+            write_log_line(log_path, record)
         if tb is not None:
             tb.add_scalars(
                 {k: v for k, v in record.items()
