@@ -26,6 +26,14 @@ def parse_args(argv=None):
     parser.add_argument("--gen-batch", type=int, default=8)
     parser.add_argument("--num-avg-checkpoints", type=int, default=1)
     parser.add_argument("--gen-subset-size", type=int, default=32)
+    # search strategies (fairseq generate flags)
+    parser.add_argument("--diverse-beam-groups", type=int, default=-1)
+    parser.add_argument("--diverse-beam-strength", type=float, default=0.5)
+    parser.add_argument("--diversity-rate", type=float, default=-1.0,
+                        help="diverse-siblings gamma (>0 enables)")
+    parser.add_argument("--prefix-size", type=int, default=0,
+                        help="force hypotheses to start with the first N "
+                             "reference tokens")
     known, _ = parser.parse_known_args(argv)
     parser = AttentionFactory.add_attn_specific_args(
         parser, known.attn_name_encoder, struct_name="attn_args_encoder",
@@ -115,8 +123,15 @@ def main(args) -> dict:
 
         gen = SequenceGenerator(
             step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
-            max_len=args.max_len_b, len_penalty=args.lenpen)
-        tokens, scores = gen.generate(batch=B)
+            max_len=args.max_len_b, len_penalty=args.lenpen,
+            diversity_groups=max(args.diverse_beam_groups, 1),
+            diversity_strength=args.diverse_beam_strength,
+            diverse_siblings_gamma=max(args.diversity_rate, 0.0))
+        prefix = None
+        if args.prefix_size > 0:
+            prefix = collate_tokens(
+                [tgt[j][: args.prefix_size] for j in chunk], pad_idx=1)
+        tokens, scores = gen.generate(batch=B, prefix_tokens=prefix)
         for b, j in enumerate(chunk):
             hyp = np.asarray(tokens[b, 0, 1:])
             # trim at eos

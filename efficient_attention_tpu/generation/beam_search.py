@@ -69,7 +69,22 @@ class SequenceGenerator:
         eos: int = 2,
         bos: Optional[int] = None,
         no_repeat_ngram_size: int = 0,
+        diversity_groups: int = 1,
+        diversity_strength: float = 0.5,
+        diverse_siblings_gamma: float = 0.0,
     ):
+        """Search-strategy knobs mirror ``fairseq/search.py``:
+
+        * ``diversity_groups > 1``: Diverse Beam Search
+          (``search.py:551-631``) — beams split into G groups; group g's
+          candidate scores are penalized by ``strength`` x (count of each
+          token already selected by groups < g this step).  As in fairseq,
+          the penalty affects selection only for the alive set; eos/finish
+          scoring uses unpenalized scores.
+        * ``diverse_siblings_gamma > 0``: Diverse Siblings
+          (``search.py:745-796``) — the rank-k candidate within each beam
+          is penalized by ``k * gamma`` before the global top-K.
+        """
         self.step_fn = step_fn
         self.init_cache_fn = init_cache_fn
         self.vocab_size = vocab_size
@@ -79,6 +94,15 @@ class SequenceGenerator:
         self.pad, self.eos = pad, eos
         self.bos = eos if bos is None else bos
         self.no_repeat_ngram_size = no_repeat_ngram_size
+        if diversity_groups > 1 and beam_size % diversity_groups != 0:
+            raise ValueError("beam_size must be divisible by "
+                             "diversity_groups (search.py:569-573)")
+        if diversity_groups > 1 and diverse_siblings_gamma > 0:
+            raise ValueError("diverse beam and diverse siblings are "
+                             "mutually exclusive strategies")
+        self.diversity_groups = diversity_groups
+        self.diversity_strength = diversity_strength
+        self.diverse_siblings_gamma = diverse_siblings_gamma
 
     def _ngram_block(self, tokens: Array, logp: Array, step: Array) -> Array:
         """Ban next-tokens completing an already-seen n-gram — vectorized
@@ -125,11 +149,87 @@ class SequenceGenerator:
             step=jnp.zeros((), jnp.int32),
         )
 
-    def generate(self, batch: int) -> Tuple[Array, Array]:
+    def _select_alive(self, cand: Array, batch: int, step: Array):
+        """Top-K alive candidates from ``cand`` [B, K, V] -> (scores [B, K],
+        beam_idx [B, K], tok_idx [B, K]) under the configured strategy."""
+        K, V = self.beam_size, self.vocab_size
+        if self.diversity_groups > 1:
+            # Diverse Beam Search: sequential group selection with a
+            # cumulative token-count penalty (``search.py:611-631``).  At
+            # step 0 only the root beam is alive, so every group selects
+            # from it (fairseq BeamSearch.step's ::beam_size slice) —
+            # token history and cache are identical across beams then, so
+            # the beam-index mapping stays valid.
+            G = self.diversity_groups
+            k = K // G
+            if k > 1:
+                root = jnp.concatenate(
+                    [cand[:, 0:1, :],
+                     jnp.full((batch, k - 1, V), NEG_INF, cand.dtype)],
+                    axis=1)
+            else:
+                root = cand[:, 0:1, :]
+            counts = jnp.zeros((batch, V), cand.dtype)
+            scores_g, beams_g, toks_g = [], [], []
+            for g in range(G):
+                group_cand = jnp.where(step == 0, root, cand[:, g::G, :])
+                cand_g = (group_cand
+                          - self.diversity_strength * counts[:, None, :])
+                flat = cand_g.reshape(batch, k * V)
+                s, idx = jax.lax.top_k(flat, k)
+                b_local = idx // V
+                t_idx = idx % V
+                b_global = jnp.where(step == 0, 0, g + b_local * G)
+                # store UNPENALIZED cumulative scores (penalty steers
+                # selection only)
+                s_raw = jnp.take_along_axis(
+                    cand.reshape(batch, K * V), b_global * V + t_idx, axis=1)
+                scores_g.append(s_raw)
+                beams_g.append(b_global)
+                toks_g.append(t_idx)
+                counts = counts + jax.nn.one_hot(
+                    t_idx, V, dtype=cand.dtype).sum(axis=1)
+            top_scores = jnp.concatenate(scores_g, axis=1)
+            beam_idx = jnp.concatenate(beams_g, axis=1)
+            tok_idx = jnp.concatenate(toks_g, axis=1)
+            # keep beams sorted best-first like plain beam search
+            order = jnp.argsort(-top_scores, axis=1)
+            return (jnp.take_along_axis(top_scores, order, axis=1),
+                    jnp.take_along_axis(beam_idx, order, axis=1),
+                    jnp.take_along_axis(tok_idx, order, axis=1))
+        if self.diverse_siblings_gamma > 0:
+            # Diverse Siblings: rank-penalized within-beam top-K then global
+            # top-K (``search.py:745-796``)
+            sib_scores, sib_toks = jax.lax.top_k(cand, K)  # [B, K, K]
+            penalty = self.diverse_siblings_gamma * jnp.arange(
+                1, K + 1, dtype=cand.dtype)
+            penalized = sib_scores - penalty[None, None, :]
+            flat = penalized.reshape(batch, K * K)
+            top_scores, idx = jax.lax.top_k(flat, K)
+            beam_idx = idx // K
+            tok_idx = jnp.take_along_axis(
+                sib_toks.reshape(batch, K * K), idx, axis=1)
+            # cumulative scores keep the sibling penalty, as in fairseq
+            return top_scores, beam_idx, tok_idx
+        flat = cand.reshape(batch, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        return top_scores, top_idx // V, top_idx % V
+
+    def generate(self, batch: int,
+                 prefix_tokens: Optional[Array] = None) -> Tuple[Array, Array]:
         """Run the full beam loop; returns (tokens [B, K, L+1],
-        scores [B, K]) sorted best-first."""
+        scores [B, K]) sorted best-first.
+
+        ``prefix_tokens`` [B, P] forces each hypothesis to begin with the
+        given tokens (``sequence_generator.py:_prefix_tokens``; pad entries
+        end a batch row's constraint early) — the fairseq
+        ``--prefix-size`` / PrefixConstrainedBeamSearch behavior for static
+        prefixes.
+        """
         K, V = self.beam_size, self.vocab_size
         state = self._init_state(batch)
+        if prefix_tokens is not None:
+            prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
 
         def cond(state: BeamState):
             best_alive = jnp.max(
@@ -152,6 +252,20 @@ class SequenceGenerator:
                 if not _is_normalized(logp) else logp
             if self.no_repeat_ngram_size > 0:
                 logp = self._ngram_block(state.tokens, logp, state.step)
+            if prefix_tokens is not None:
+                # force the next token while step < prefix length (pad in
+                # the prefix releases the constraint for that row)
+                P = prefix_tokens.shape[1]
+                pos = jnp.minimum(state.step, P - 1)
+                forced_tok = jax.lax.dynamic_slice_in_dim(
+                    prefix_tokens, pos, 1, axis=1)  # [B, 1]
+                active = ((state.step < P)
+                          & (forced_tok[:, 0] != self.pad))  # [B]
+                forced_mask = jax.nn.one_hot(
+                    forced_tok, V, dtype=bool)  # [B, 1, V]
+                logp = jnp.where(
+                    active[:, None, None],
+                    jnp.where(forced_mask, logp, NEG_INF), logp)
             cand = state.log_probs[..., None] + logp  # [B, K, V]
 
             # candidates ending in eos become finished hypotheses
@@ -173,12 +287,10 @@ class SequenceGenerator:
                 fin_tokens, fin_idx[..., None], axis=1)
             new_finished_mask = top_fin > NEG_INF / 2
 
-            # alive candidates: mask out eos, take top-K over K*V
+            # alive candidates: mask out eos, select under the strategy
             cand = cand.at[:, :, self.eos].set(NEG_INF)
-            flat = cand.reshape(batch, K * V)
-            top_scores, top_idx = jax.lax.top_k(flat, K)
-            beam_idx = top_idx // V
-            tok_idx = top_idx % V
+            top_scores, beam_idx, tok_idx = self._select_alive(
+                cand, batch, state.step)
             new_tokens = jnp.take_along_axis(
                 state.tokens, beam_idx[..., None], axis=1)
             new_tokens = jax.lax.dynamic_update_slice_in_dim(

@@ -1,0 +1,152 @@
+"""Search strategies vs hand-computed beams (the predictable-probability-
+table pattern of ``fairseq/tests/utils.py:64``): a step function returning
+fixed log-prob tables lets every expansion be computed by hand.
+
+Covers: prefix-constrained decoding (``--prefix-size`` /
+``search.PrefixConstrainedBeamSearch``), Diverse Beam Search
+(``search.py:551-631``) and Diverse Siblings (``search.py:745-796``).
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_attention_tpu.generation import SequenceGenerator
+
+PAD, EOS = 1, 2
+V = 6  # tokens: 0..5 (1=pad, 2=eos)
+
+
+def _table_step(tables):
+    """step_fn driven by per-step log-prob tables [L, V] (same for every
+    beam/batch row)."""
+    tables = jnp.asarray(tables, jnp.float32)
+
+    def step_fn(cache, tokens, step):
+        B = tokens.shape[0]
+        row = jnp.take(tables, jnp.minimum(step, tables.shape[0] - 1), axis=0)
+        return jnp.broadcast_to(row, (B, V)), cache
+
+    return step_fn
+
+
+def _logp(probs):
+    """normalized log table from unnormalized positive weights."""
+    arr = np.asarray(probs, np.float64)
+    arr = arr / arr.sum(-1, keepdims=True)
+    return np.log(arr)
+
+
+class TestPrefixConstrained:
+    def test_prefix_is_forced_then_free(self):
+        # model always prefers token 3, but prefix [4, 5] must be emitted
+        tables = _logp([[1, 1, 1e-9, 10, 1, 1]] * 4)
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=4,
+                                eos=EOS, pad=PAD, len_penalty=0.0)
+        prefix = jnp.asarray([[4, 5]], jnp.int32)
+        tokens, _ = gen.generate(batch=1, prefix_tokens=prefix)
+        hyps = np.asarray(tokens[0, :, 1:])
+        # every hypothesis respects the prefix
+        assert (hyps[:, 0] == 4).all() and (hyps[:, 1] == 5).all()
+        # the free continuation (model's favorite token 3) appears once the
+        # constraint ends; the top beam may finish immediately (shorter is
+        # better at len_penalty 0)
+        assert 3 in hyps[:, 2] or (hyps[:, 2] == EOS).all()
+
+    def test_pad_in_prefix_releases_constraint(self):
+        tables = _logp([[1, 1, 1e-9, 10, 1, 1]] * 4)
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=4,
+                                eos=EOS, pad=PAD, len_penalty=0.0)
+        prefix = jnp.asarray([[4, PAD]], jnp.int32)  # only step 0 forced
+        tokens, _ = gen.generate(batch=1, prefix_tokens=prefix)
+        hyps = np.asarray(tokens[0, :, 1:])
+        assert (hyps[:, 0] == 4).all()
+        assert 3 in hyps[:, 1]  # free at step 1
+
+    def test_per_row_prefixes(self):
+        tables = _logp([[1, 1, 1e-9, 10, 1, 1]] * 4)
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=3,
+                                eos=EOS, pad=PAD, len_penalty=0.0)
+        prefix = jnp.asarray([[4], [5]], jnp.int32)
+        tokens, _ = gen.generate(batch=2, prefix_tokens=prefix)
+        assert int(tokens[0, 0, 1]) == 4
+        assert int(tokens[1, 0, 1]) == 5
+
+
+class TestDiverseBeam:
+    def test_groups_avoid_each_others_tokens(self):
+        # step 0: token 0 hugely dominant; with 2 groups and a strong
+        # penalty, group 1 must pick the runner-up (token 3) instead of
+        # copying group 0's choice
+        # step 0: token 0 dominant, eos negligible; step 1: eos dominant so
+        # both (diverse) beams finish and land in the returned pool
+        tables = _logp([[100, 1e-9, 1e-12, 50, 1, 1],
+                        [1e-9, 1e-9, 100, 1e-9, 1e-9, 1e-9]])
+        gen = SequenceGenerator(
+            _table_step(tables), lambda b, l: (), vocab_size=V, beam_size=2,
+            max_len=3, eos=EOS, pad=PAD, len_penalty=0.0,
+            diversity_groups=2, diversity_strength=1000.0)
+        tokens, _ = gen.generate(batch=1)
+        first = {int(tokens[0, k, 1]) for k in range(2)}
+        assert first == {0, 3}, first
+
+    def test_zero_strength_matches_plain_beam(self):
+        rng = np.random.default_rng(0)
+        tables = _logp(rng.uniform(0.1, 1.0, (4, V)))
+        plain = SequenceGenerator(
+            _table_step(tables), lambda b, l: (), vocab_size=V, beam_size=2,
+            max_len=3, eos=EOS, pad=PAD, len_penalty=0.0)
+        diverse = SequenceGenerator(
+            _table_step(tables), lambda b, l: (), vocab_size=V, beam_size=2,
+            max_len=3, eos=EOS, pad=PAD, len_penalty=0.0,
+            diversity_groups=2, diversity_strength=0.0)
+        t1, s1 = plain.generate(batch=1)
+        t2, s2 = diverse.generate(batch=1)
+        # same best hypothesis and score (groups partition the beams, so
+        # only the top-1 is guaranteed identical)
+        np.testing.assert_array_equal(np.asarray(t1[0, 0]),
+                                      np.asarray(t2[0, 0]))
+        assert abs(float(s1[0, 0]) - float(s2[0, 0])) < 1e-5
+
+    def test_beam_not_divisible_raises(self):
+        with pytest.raises(ValueError):
+            SequenceGenerator(lambda *a: None, lambda b, l: (), vocab_size=V,
+                              beam_size=3, diversity_groups=2)
+
+
+class TestDiverseSiblings:
+    def test_rank_penalty_hand_computed(self):
+        # single step, beam 2, gamma large enough that each beam's rank-2
+        # sibling is pushed below the other beam's rank-1:
+        # logp = [a=log .5, b=log .3, ...] -> with gamma=0.4:
+        #   rank1: a-0.4, rank2: b-0.8  => selection: both beams' rank-1
+        p = [0.5, 1e-9, 1e-12, 0.3, 0.15, 0.05]
+        fin = [1e-9, 1e-9, 100.0, 1e-9, 1e-9, 1e-9]  # step 1: eos dominant
+        tables = _logp([p, fin])
+        gamma = 0.4
+        gen = SequenceGenerator(
+            _table_step(tables), lambda b, l: (), vocab_size=V, beam_size=2,
+            max_len=2, eos=EOS, pad=PAD, len_penalty=0.0,
+            diverse_siblings_gamma=gamma)
+        tokens, scores = gen.generate(batch=1)
+        # step 0 starts with one live beam; its two best siblings emit
+        # tokens 0 and 3 with penalized scores logp - gamma*rank, then both
+        # finish with eos at step 1
+        got = sorted(int(tokens[0, k, 1]) for k in range(2))
+        assert got == [0, 3]
+        logp0 = _logp([p])[0]
+        eoslp = _logp([fin])[0][EOS]
+        want = sorted([logp0[0] - gamma * 1 + eoslp,
+                       logp0[3] - gamma * 2 + eoslp], reverse=True)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores[0]))[::-1], want, atol=1e-3)
+
+    def test_mutually_exclusive_strategies(self):
+        with pytest.raises(ValueError):
+            SequenceGenerator(lambda *a: None, lambda b, l: (), vocab_size=V,
+                              beam_size=4, diversity_groups=2,
+                              diverse_siblings_gamma=0.1)
