@@ -21,6 +21,7 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -112,3 +113,74 @@ def make_pipelined_apply(
         out_specs=P(),
         check_vma=False,
     ))
+
+
+def make_pipelined_train_step(
+    layer_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array, Array], Array],
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "stage",
+    embed_fn: Callable[[Any, Array], Array] = None,
+    head_fn: Callable[[Any, Array], Array] = None,
+):
+    """GPipe TRAINING step over a stage mesh axis.
+
+    The backward schedule comes for free: ``pipeline_run`` is built from
+    ``lax.scan`` + ``lax.ppermute`` + selects, all of which are linear/
+    differentiable — ``jax.grad`` through the shard_mapped forward yields
+    the reverse pipeline (activations flow left, cotangents flow right),
+    which is exactly GPipe's fill/drain backward.  This replaces the
+    reference's torch Pipe training integration
+    (``fairseq/model_parallel/models/pipeline_parallel_transformer/model.py``).
+
+    Args:
+      layer_fn: ``(params_i, x) -> x`` for ONE transformer layer; layer
+        params stacked on a leading L axis, sharded ``P(axis_name)``.
+      loss_fn: ``(last_stage_out [num_micro, mb, ...], targets) -> scalar``.
+      optimizer: an optax GradientTransformation over
+        ``(stacked_params, embed_params, head_params)``.
+      embed_fn/head_fn: optional replicated pre/post computation (token
+        embedding on entry, LM head on exit), run outside the stage loop —
+        matching the reference's embed-on-first / head-on-last placement
+        without pinning them to a stage.
+
+    Returns ``(init_opt_state_fn, train_step)`` where
+    ``train_step(params3, opt_state, micro_x, micro_tgt) ->
+    (params3, opt_state, loss)`` is fully jitted.
+    """
+    embed_fn = embed_fn or (lambda p, x: x)
+    head_fn = head_fn or (lambda p, x: x)
+
+    def stage_fn(stage_params, x):
+        x, _ = jax.lax.scan(lambda c, p: (layer_fn(p, c), None),
+                            x, stage_params)
+        return x
+
+    def inner_loss(stacked, embed_p, head_p, micro_x, micro_tgt):
+        h = embed_fn(embed_p, micro_x)
+        out = pipeline_run(stage_fn, stacked, h, axis_name)
+        n = jax.lax.axis_size(axis_name)
+        gathered = jax.lax.all_gather(out, axis_name)[n - 1]
+        return loss_fn(head_fn(head_p, gathered), micro_tgt)
+
+    sharded_loss = jax.shard_map(
+        inner_loss, mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_of(params3, micro_x, micro_tgt):
+        stacked, embed_p, head_p = params3
+        return sharded_loss(stacked, embed_p, head_p, micro_x, micro_tgt)
+
+    @jax.jit
+    def train_step(params3, opt_state, micro_x, micro_tgt):
+        loss, grads = jax.value_and_grad(loss_of)(params3, micro_x,
+                                                  micro_tgt)
+        updates, opt_state = optimizer.update(grads, opt_state, params3)
+        params3 = optax.apply_updates(params3, updates)
+        return params3, opt_state, loss
+
+    return optimizer.init, train_step
