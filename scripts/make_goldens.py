@@ -1,0 +1,128 @@
+"""Generate golden cross-framework fixtures from the PyTorch reference.
+
+Runs the reference attention modules (/root/reference/efficient-attention,
+torch CPU, eval mode) with deterministically-filled parameters and dumps
+(input, output, named parameters) to ``tests/goldens/*.npz``.  The repo's
+tests (``tests/test_goldens.py``) load these and assert the JAX modules
+reproduce the reference outputs bit-for-tolerance — SURVEY §7.1's golden
+test strategy.  No reference code is copied; it is only *executed* here.
+
+Usage: python scripts/make_goldens.py   (requires /root/reference)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+
+def _stub_timm():
+    """The reference imports only trunc_normal_ from timm (which is not
+    installed here); parameters get overwritten anyway."""
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def trunc_normal_(t, std=1.0, **kw):
+        import torch
+
+        with torch.no_grad():
+            t.normal_(0, std).clamp_(-2 * std, 2 * std)
+        return t
+
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules.update({"timm": timm, "timm.models": models,
+                        "timm.models.layers": layers})
+
+
+def _fill_params(module, seed=0):
+    import torch
+
+    rng = np.random.default_rng(seed)
+    for name, p in sorted(module.named_parameters()):
+        vals = rng.normal(0, 0.05, p.shape).astype(np.float32)
+        with torch.no_grad():
+            p.copy_(torch.from_numpy(vals))
+
+
+def _dump(path, module, x, out):
+    arrays = {"x": x.numpy(), "out": out.numpy()}
+    for name, p in module.named_parameters():
+        arrays["param:" + name] = p.detach().numpy()
+    np.savez(path, **arrays)
+    print(f"wrote {path}: x{arrays['x'].shape} -> out{arrays['out'].shape}, "
+          f"{len(arrays) - 2} params")
+
+
+def main():
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    import torch
+
+    from efficient_attention import EVA, LocalAttention
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    torch.manual_seed(0)
+    rng = np.random.default_rng(42)
+    x2d = torch.from_numpy(
+        rng.normal(0, 1, (2, 8, 8, 48)).astype(np.float32))
+
+    # EVA: 2-D, learned RPE, adaptive proj (the flagship ViT config)
+    m = EVA(dim=48, num_heads=4, window_size=4, num_landmarks=4,
+            attn_2d=True, use_rpe=True, adaptive_proj="default",
+            overlap_window=False)
+    m.eval()
+    _fill_params(m, seed=1)
+    with torch.no_grad():
+        out = m(x2d.clone())
+    _dump(os.path.join(OUT_DIR, "eva_2d_rpe.npz"), m, x2d, out)
+
+    # LocalAttention: 2-D windows + learned RPE
+    m = LocalAttention(dim=48, num_heads=4, window_size=4, attn_2d=True,
+                       use_rpe=True)
+    m.eval()
+    _fill_params(m, seed=2)
+    with torch.no_grad():
+        out = m(x2d.clone())
+    _dump(os.path.join(OUT_DIR, "local_2d_rpe.npz"), m, x2d, out)
+
+    # Exact softmax base attention
+    from efficient_attention import MultiheadAttention
+
+    x1d = torch.from_numpy(
+        rng.normal(0, 1, (2, 16, 48)).astype(np.float32))
+    m = MultiheadAttention(dim=48, num_heads=4)
+    m.eval()
+    _fill_params(m, seed=3)
+    with torch.no_grad():
+        out = m(x1d.clone())
+    _dump(os.path.join(OUT_DIR, "softmax_mha.npz"), m, x1d, out)
+
+    # CausalEVA parallel (full-sequence) path, t5-rpe, adaptive 'qk' — the
+    # wikitext-103 LM config (window 8 scaled down, chunk 4)
+    import argparse
+
+    from efficient_attention import CausalEVAttention
+
+    aa = argparse.Namespace(window_size=8, overlap_window=False, causal=True,
+                            num_chunks=-1, chunk_size=4, use_t5_rpe=True,
+                            adaptive_proj="qk")
+    m = CausalEVAttention(embed_dim=48, num_heads=4, attn_args=aa)
+    m.eval()
+    _fill_params(m, seed=4)
+    xt = x1d.transpose(0, 1).contiguous()  # reference is time-major
+    with torch.no_grad():
+        out = m(xt.clone(), xt.clone(), xt.clone())
+    out = out[0] if isinstance(out, tuple) else out
+    _dump(os.path.join(OUT_DIR, "causal_eva_parallel.npz"), m, x1d,
+          out.transpose(0, 1).contiguous())  # store batch-major
+
+
+if __name__ == "__main__":
+    main()
