@@ -18,3 +18,11 @@ __all__ = [
     "PyramidVisionTransformerV2",
     "PVTBlock",
 ]
+from efficient_attention_tpu.models import lightconv as _lightconv  # noqa: F401,E402
+from efficient_attention_tpu.models.lightconv import (  # noqa: E402
+    DynamicConv,
+    LightConvModel,
+    LightweightConv,
+)
+
+__all__ += ["LightConvModel", "LightweightConv", "DynamicConv"]
