@@ -133,48 +133,67 @@ class EVA(LocalAttention):
         projection output; returns ``(rf_k_bar, beta)`` packed ``[B, C, H*D]``
         (the layout :func:`eva_attention_packed` consumes).
 
-        Same math as :meth:`_chunk_summaries_natural`; only the axis layout
-        differs, so the learned ``adaptive_mu_*`` parameters are shared
-        (Dense/LN act on the minor head_dim axis in both).
+        Every chunk reduction is expressed through a STATIC 0/1 chunk-
+        membership matrix ``P [C, N]`` so both directions are plain
+        matmuls: 6-D strided-einsum formulations have clean forwards but
+        pathological VJPs on TPU (~2.8ms/layer of backward at the bench
+        geometry, ~10x their forward).  Math identical to the partitioned
+        path (``eva.py:150-196``); ``adaptive_mu_*`` parameters are shared
+        (Dense/LN act on the minor head_dim axis).
         """
         nh = self.num_heads
         d = self.head_dim
+        hd = nh * d
         B, N, _ = qkv.shape
         j = rf_win_size
         gh, gw = seq_shape
         hc, wc = gh // j, gw // j
         c = hc * wc
-        qkv7 = qkv.reshape(B, gh, gw, 3, nh, d)
 
-        def chunked(i):
-            # [B, hc, j, wc, j, nh, d] strided view of q/k/v (XLA fuses the
-            # gather into the consuming reduction/contraction)
-            return qkv7[:, :, :, i].reshape(B, hc, j, wc, j, nh, d)
+        # static chunk membership [C, N]: token (y, x) -> chunk (y//j, x//j)
+        t = np.arange(N)
+        chunk_of = (t // (gw * j)) * wc + (t % gw) // j
+        P = jnp.asarray(
+            chunk_of[None, :] == np.arange(c)[:, None], qkv.dtype)
+        P_mean = P / float(j * j)
 
-        k7 = chunked(1)
-        k_mean = jnp.mean(k7, axis=(2, 4))  # [B, hc, wc, nh, d]
+        qf = qkv[:, :, :hd]
+        kf = qkv[:, :, hd:2 * hd]
+        vf = qkv[:, :, 2 * hd:]
+
+        k_mean = jnp.einsum("cn,bnf->bcf", P_mean, kf).reshape(B, c, nh, d)
         if self.adaptive_proj in ("default", "no-ln"):
-            q_mean = jnp.mean(chunked(0), axis=(2, 4))
+            q_mean = jnp.einsum("cn,bnf->bcf", P_mean,
+                                qf).reshape(B, c, nh, d)
             rf_q_bar = self.adaptive_mu_q(q_mean)
             rf_k_bar = self.adaptive_mu_k(k_mean)
             mu = 0.5 * (rf_q_bar + rf_k_bar)
         else:
             rf_k_bar = self.adaptive_mu_k(k_mean)
             mu = jnp.zeros_like(rf_k_bar)
-        weights = self._sample_weights(mu, deterministic)
+        weights = self._sample_weights(mu, deterministic)  # [B, C, nh, d]
+
+        # log phi(k)[n] = <w_chunk(n), k_n>/sqrt(d) - |k_n|^2/(2 sqrt(d))
         dn = d ** -0.5
-        dash = dn * jnp.einsum("zaicjhd,zachd->zaicjh", k7, weights,
-                               preferred_element_type=jnp.float32)
-        norm = (0.5 * dn) * jnp.sum(
-            jnp.square(k7.astype(jnp.float32)), axis=-1)
-        logp = dash - norm  # [B, hc, j, wc, j, nh]
-        m = jnp.max(logp, axis=(2, 4), keepdims=True)
-        p = jnp.exp(logp - m)
-        p = p / jnp.sum(p, axis=(2, 4), keepdims=True)
-        beta = jnp.einsum("zaicjh,zaicjhd->zachd", p.astype(qkv.dtype),
-                          chunked(2))
-        return (rf_k_bar.reshape(B, c, nh * d),
-                beta.reshape(B, c, nh * d))
+        w_tok = jnp.einsum("cn,bcf->bnf", P,
+                           weights.reshape(B, c, hd))  # [B, N, HD]
+        k4 = kf.reshape(B, N, nh, d).astype(jnp.float32)
+        dash = dn * jnp.sum(
+            k4 * w_tok.reshape(B, N, nh, d).astype(jnp.float32), axis=-1)
+        norm = (0.5 * dn) * jnp.sum(jnp.square(k4), axis=-1)
+        logp = dash - norm  # [B, N, nh]
+        # stable per-chunk softmax over member tokens: the chunk max is a
+        # tiny strided reduction (its VJP is an elementwise select)
+        m_c = jnp.max(
+            logp.reshape(B, hc, j, wc, j, nh), axis=(2, 4))  # [B,hc,wc,nh]
+        m_tok = jnp.einsum("cn,bch->bnh", P, m_c.reshape(B, c, nh))
+        p = jnp.exp(logp - m_tok)  # [B, N, nh]
+        denom = jnp.einsum("cn,bnh->bch", P, p)  # [B, C, nh]
+        pv = (p[..., None].astype(qkv.dtype)
+              * vf.reshape(B, N, nh, d)).reshape(B, N, hd)
+        beta = jnp.einsum("cn,bnf->bcf", P, pv).reshape(B, c, nh, d)
+        beta = (beta / denom[..., None]).astype(qkv.dtype)
+        return (rf_k_bar.reshape(B, c, hd), beta.reshape(B, c, hd))
 
     def _forward_packed(self, x, seq_shape, rf_win_size, deterministic):
         """Zero-transpose EVA forward: LN'd tokens -> fused qkv projection ->

@@ -150,9 +150,86 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
     return out.reshape(B, N, nh * d)
 
 
+def _xla_rowmajor(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
+    """Row-major-strip joint softmax on the packed layout — the VJP source.
+
+    Mirrors the kernel's own strip structure: the token axis splits into
+    [ns, TGS] by a FREE reshape, cross-window visibility is the static
+    additive mask, and the per-window bias is pre-permuted with the same
+    tiny permutation matmuls as the forward.  No transpose of a full tensor
+    appears in either direction (the Swin-partition formulation costs ~6
+    full-tensor transposed copies per layer in fwd+bwd of the VJP), at the
+    price of the strips' masked dense waste — which is cheap MXU work.
+    """
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    TGS = W * ws
+    ns = N // TGS
+    qkv6 = qkv.reshape(B, ns, TGS, 3, nh, d)
+    q, k, v = qkv6[:, :, :, 0], qkv6[:, :, :, 1], qkv6[:, :, :, 2]
+    rf = rf_p.reshape(B, C, nh, d)
+    bt = beta_p.reshape(B, C, nh, d)
+    vis = _rowmajor_vis(W, ws, TGS)
+    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    local = jnp.einsum("bsihd,bsjhd->bshij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        t = np.arange(TGS)
+        loc = ((t // W) % ws) * ws + (t % W) % ws
+        R = np.zeros((TGS, ws * ws), np.float32)
+        R[np.arange(TGS), loc] = 1.0
+        Rj = jnp.asarray(R)
+        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj,
+                              bias.astype(jnp.float32), Rj)
+        local = local + bias_tok[None, None]
+    local = local + mask_add[None, None, None]
+    chunk = jnp.einsum("bsihd,bchd->bshic", q, rf,
+                       preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(
+        jnp.concatenate([local, chunk], axis=-1), axis=-1).astype(v.dtype)
+    out = (jnp.einsum("bshij,bsjhd->bsihd", attn[..., :TGS], v)
+           + jnp.einsum("bshic,bchd->bsihd", attn[..., TGS:], bt))
+    return out.reshape(B, N, nh * d)
+
+
+def _xla_windowed(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
+    """Windowed O(N*(S+C)) joint softmax on the packed layout.  Same math
+    as :func:`_xla_reference` but via the Swin window partition, so it
+    never materializes the [B, H, N, N] dense logit tensor (944MB/layer at
+    the DeiT-tiny-p8 bench geometry)."""
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    gh, gw = N // W, W
+    hw, ww = gh // ws, gw // ws
+    S = ws * ws
+    G = hw * ww
+    qkv6 = qkv.reshape(B, hw, ws, ww, ws, 3, nh, d)
+    # [B, G, S, 3, nh, d]
+    win = jnp.transpose(qkv6, (0, 1, 3, 2, 4, 5, 6, 7)).reshape(
+        B, G, S, 3, nh, d)
+    q, k, v = win[:, :, :, 0], win[:, :, :, 1], win[:, :, :, 2]
+    rf = rf_p.reshape(B, C, nh, d)
+    bt = beta_p.reshape(B, C, nh, d)
+    local = jnp.einsum("bgihd,bgjhd->bghij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        local = local + bias.astype(local.dtype)[None, None]
+    chunk = jnp.einsum("bgihd,bchd->bghic", q, rf,
+                       preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(
+        jnp.concatenate([local, chunk], axis=-1), axis=-1).astype(v.dtype)
+    out = (jnp.einsum("bghij,bgjhd->bgihd", attn[..., :S], v)
+           + jnp.einsum("bghic,bchd->bgihd", attn[..., S:], bt))
+    out = out.reshape(B, hw, ww, ws, ws, nh, d)
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5, 6)).reshape(B, N, nh * d)
+    return out
+
+
 def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
-    """Ground-truth joint softmax on the packed layout (VJP source and test
-    oracle)."""
+    """Dense ground-truth joint softmax on the packed layout (test oracle;
+    the VJP uses the windowed :func:`_xla_windowed` instead)."""
     B, N, three_hd = qkv.shape
     d = three_hd // (3 * nh)
     C = rf_p.shape[1]
@@ -197,7 +274,7 @@ def _make_differentiable(scale, nh, W, ws, has_bias, interpret):
 
     def bwd(res, g):
         qkv, rf_p, beta_p, bias = res
-        ref = lambda qkv, rf_p, beta_p, bias: _xla_reference(  # noqa: E731
+        ref = lambda qkv, rf_p, beta_p, bias: _xla_rowmajor(  # noqa: E731
             qkv, rf_p, beta_p, scale, nh, W, ws,
             bias if has_bias else None)
         _, vjp = jax.vjp(ref, qkv, rf_p, beta_p, bias)

@@ -274,3 +274,51 @@ class TestPackedKernel:
         out_packed = packed_forward(params, x)
         np.testing.assert_allclose(np.asarray(out_packed),
                                    np.asarray(out_xla), atol=2e-5, rtol=1e-4)
+
+    def test_windowed_vjp_source_matches_dense(self, rng):
+        """The backward's windowed formulation equals the dense reference
+        in both outputs and gradients."""
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+            _xla_windowed,
+        )
+
+        Wimg, ws, nh, d = 8, 4, 3, 16
+        qkv, rf, beta, bias = self._inputs(rng, Wimg=Wimg, ws=ws, nh=nh, d=d)
+        scale = d ** -0.5
+        outw = _xla_windowed(qkv, rf, beta, scale, nh, Wimg, ws, bias)
+        outd = _xla_reference(qkv, rf, beta, scale, nh, Wimg, ws, bias)
+        np.testing.assert_allclose(outw, outd, atol=3e-5, rtol=1e-4)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(
+                fn(*a, scale, nh, Wimg, ws, bias) ** 2)
+
+        gw = jax.grad(loss(_xla_windowed), argnums=(0, 1, 2))(qkv, rf, beta)
+        gd = jax.grad(loss(_xla_reference), argnums=(0, 1, 2))(qkv, rf, beta)
+        for a, b in zip(gw, gd):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    def test_rowmajor_vjp_source_matches_dense(self, rng):
+        """The rowmajor-strip VJP source equals the dense reference in
+        outputs and gradients."""
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+            _xla_rowmajor,
+        )
+
+        Wimg, ws, nh, d = 8, 4, 3, 16
+        qkv, rf, beta, bias = self._inputs(rng, Wimg=Wimg, ws=ws, nh=nh, d=d)
+        scale = d ** -0.5
+        outw = _xla_rowmajor(qkv, rf, beta, scale, nh, Wimg, ws, bias)
+        outd = _xla_reference(qkv, rf, beta, scale, nh, Wimg, ws, bias)
+        np.testing.assert_allclose(outw, outd, atol=3e-5, rtol=1e-4)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(
+                fn(*a, scale, nh, Wimg, ws, bias) ** 2)
+
+        gw = jax.grad(loss(_xla_rowmajor), argnums=(0, 1, 2))(qkv, rf, beta)
+        gd = jax.grad(loss(_xla_reference), argnums=(0, 1, 2))(qkv, rf, beta)
+        for a, b in zip(gw, gd):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
