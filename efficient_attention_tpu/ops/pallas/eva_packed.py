@@ -150,6 +150,139 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
     return out.reshape(B, N, nh * d)
 
 
+def _bwd_kernel(qkv_ref, rf_ref, beta_ref, bias_ref, g_ref,
+                dqkv_ref, drf_ref, dbeta_ref, dbias_ref,
+                *, scale: float, nh: int, d: int, tgs: int, c: int):
+    """Fused backward: one grid step recomputes its strip's joint softmax in
+    VMEM (flash-style) and emits dq/dk/dv in place plus drf/dbeta/dbias
+    accumulated across sequential grid steps (revisited output blocks
+    persist in VMEM under 'arbitrary' dimension semantics)."""
+    b_idx = pl.program_id(0)
+    j_idx = pl.program_id(1)
+
+    @pl.when(j_idx == 0)
+    def _init_cd():
+        drf_ref[...] = jnp.zeros_like(drf_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+
+    @pl.when((b_idx == 0) & (j_idx == 0))
+    def _init_bias():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(nh):
+        qh = qkv_ref[:, 0, :, h * d:(h + 1) * d]          # [RB, TGS, D]
+        kh = qkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d]
+        vh = qkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
+        rfh = rf_ref[:, :, h * d:(h + 1) * d]             # [RB, C, D]
+        bth = beta_ref[:, :, h * d:(h + 1) * d]
+        gh = g_ref[:, 0, :, h * d:(h + 1) * d]            # [RB, TGS, D]
+
+        local = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[h][None]
+        chunk = jax.lax.dot_general(
+            qh, rfh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.maximum(jnp.max(local, axis=-1, keepdims=True),
+                        jnp.max(chunk, axis=-1, keepdims=True))
+        p_l = jnp.exp(local - m)
+        p_c = jnp.exp(chunk - m)
+        denom = (jnp.sum(p_l, axis=-1, keepdims=True)
+                 + jnp.sum(p_c, axis=-1, keepdims=True))
+        P_l = p_l / denom                                 # [RB, TGS, TGS]
+        P_c = p_c / denom                                 # [RB, TGS, C]
+
+        dP_l = jax.lax.dot_general(                       # g @ v^T
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dP_c = jax.lax.dot_general(
+            gh, bth, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = (jnp.sum(P_l * dP_l, axis=-1, keepdims=True)
+              + jnp.sum(P_c * dP_c, axis=-1, keepdims=True))
+        dS_l = (P_l * (dP_l - ds)).astype(qh.dtype)
+        dS_c = (P_c * (dP_c - ds)).astype(qh.dtype)
+
+        dq = scale * (
+            jax.lax.dot_general(dS_l, kh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(dS_c, rfh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32))
+        dk = scale * jax.lax.dot_general(                 # dS_l^T @ q
+            dS_l, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(                         # P_l^T @ g
+            P_l.astype(gh.dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        dqkv_ref[:, 0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d] = \
+            dv.astype(dqkv_ref.dtype)
+
+        drf_part = scale * jax.lax.dot_general(           # dS_c^T @ q
+            dS_c, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [RB, C, D]
+        dbt_part = jax.lax.dot_general(                   # P_c^T @ g
+            P_c.astype(gh.dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        drf_ref[:, :, h * d:(h + 1) * d] += drf_part
+        dbeta_ref[:, :, h * d:(h + 1) * d] += dbt_part
+        dbias_ref[h, :, :] += jnp.sum(
+            (P_l * (dP_l - ds)), axis=0)                  # [TGS, TGS]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "nh", "W", "ws", "interpret"))
+def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
+               interpret=False):
+    """Pallas backward; returns (dqkv, drf_p, dbeta_p, dbias_big)."""
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    RB, TGS = _pick_rows(B, N, W, ws)
+    # the backward keeps ~3x more fp32 [RB, TGS, TGS] values live than the
+    # forward (P, dP, dS per branch); halve the batch rows per step twice
+    # to stay inside the 16MB VMEM scoped allocation
+    while RB > 1 and RB * TGS * (TGS + 128) * 4 > 1_100_000:
+        RB //= 2
+    ns = N // TGS
+    qkv4 = qkv.reshape(B, ns, TGS, three_hd)
+    g4 = g.reshape(B, ns, TGS, nh * d)
+    grid = (B // RB, ns)
+    qkv_spec = pl.BlockSpec((RB, 1, TGS, three_hd),
+                            lambda b, j: (b, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((RB, 1, TGS, nh * d), lambda b, j: (b, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cd_spec = pl.BlockSpec((RB, C, nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    kern = functools.partial(_bwd_kernel, scale=scale, nh=nh, d=d, tgs=TGS,
+                             c=C)
+    dqkv, drf, dbeta, dbias = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[qkv_spec, cd_spec, cd_spec, bias_spec, g_spec],
+        out_specs=[qkv_spec, cd_spec, cd_spec, bias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkv4.shape, qkv.dtype),
+            jax.ShapeDtypeStruct((B, C, nh * d), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, nh * d), jnp.float32),
+            jax.ShapeDtypeStruct((nh, TGS, TGS), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qkv4, rf_p, beta_p, bias_big, g4)
+    return (dqkv.reshape(B, N, three_hd), drf.astype(rf_p.dtype),
+            dbeta.astype(beta_p.dtype), dbias)
+
+
 def _xla_rowmajor(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
     """Row-major-strip joint softmax on the packed layout — the VJP source.
 
@@ -274,17 +407,34 @@ def _make_differentiable(scale, nh, W, ws, has_bias, interpret):
 
     def bwd(res, g):
         qkv, rf_p, beta_p, bias = res
-        ref = lambda qkv, rf_p, beta_p, bias: _xla_rowmajor(  # noqa: E731
-            qkv, rf_p, beta_p, scale, nh, W, ws,
-            bias if has_bias else None)
-        _, vjp = jax.vjp(ref, qkv, rf_p, beta_p, bias)
-        dqkv, drf, dbeta, dbias = vjp(g)
-        # bias_big is derived from bias OUTSIDE the custom_vjp boundary, so
-        # its cotangent here is zero — dbias already carries the full
-        # gradient (the reference recomputes the permuted bias internally)
         tgs = _pick_rows(qkv.shape[0], qkv.shape[1], W, ws)[1]
-        dbig = jnp.zeros((nh, tgs, tgs), jnp.float32)
-        return dqkv, drf, dbeta, dbig, dbias
+        # rebuild the resident additive table (cheap: tiny perm matmuls)
+        vis = _rowmajor_vis(W, ws, tgs)
+        mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+        t = np.arange(tgs)
+        loc = ((t // W) % ws) * ws + (t % W) % ws
+        R = np.zeros((tgs, ws * ws), np.float32)
+        R[np.arange(tgs), loc] = 1.0
+        Rj = jnp.asarray(R)
+        if has_bias:
+            bias_tok = jnp.einsum("tl,hlm,um->htu", Rj,
+                                  bias.astype(jnp.float32), Rj)
+            big = bias_tok + mask_add
+        else:
+            big = jnp.broadcast_to(mask_add, (nh, tgs, tgs))
+        dqkv, drf, dbeta, dbig = _bwd_fused(
+            qkv, rf_p, beta_p, big, g, scale, nh, W, ws,
+            interpret=interpret)
+        if has_bias:
+            # bias_big = R bias R^T (+ mask): pull the table gradient back
+            # through the permutation matmuls
+            dbias = jnp.einsum("tl,htu,um->hlm", Rj, dbig, Rj)
+        else:
+            dbias = jnp.zeros_like(bias)
+        # the bias_big INPUT's cotangent is zero — the gradient flows via
+        # the `bias` slot above (bias_big is derived outside the boundary)
+        zeros_big = jnp.zeros((nh, tgs, tgs), jnp.float32)
+        return dqkv, drf, dbeta, zeros_big, dbias.astype(bias.dtype)
 
     f.defvjp(fwd, bwd)
     return f
