@@ -133,11 +133,12 @@ class EVA(LocalAttention):
         projection output; returns ``(rf_k_bar, beta)`` packed ``[B, C, H*D]``
         (the layout :func:`eva_attention_packed` consumes).
 
-        Every chunk reduction is expressed through a STATIC 0/1 chunk-
-        membership matrix ``P [C, N]`` so both directions are plain
-        matmuls: 6-D strided-einsum formulations have clean forwards but
-        pathological VJPs on TPU (~2.8ms/layer of backward at the bench
-        geometry, ~10x their forward).  Math identical to the partitioned
+        Two equivalent formulations, dispatched on ``deterministic``:
+        training routes every chunk reduction through a STATIC 0/1 chunk-
+        membership matrix ``P [C, N]`` so both directions are plain matmuls
+        (6-D strided-einsum VJPs cost ~10x their forward on TPU); inference
+        uses the 6-D strided-reduce form whose FORWARD is ~0.4ms/layer
+        faster at the bench geometry.  Math identical to the partitioned
         path (``eva.py:150-196``); ``adaptive_mu_*`` parameters are shared
         (Dense/LN act on the minor head_dim axis).
         """
@@ -173,8 +174,29 @@ class EVA(LocalAttention):
             mu = jnp.zeros_like(rf_k_bar)
         weights = self._sample_weights(mu, deterministic)  # [B, C, nh, d]
 
-        # log phi(k)[n] = <w_chunk(n), k_n>/sqrt(d) - |k_n|^2/(2 sqrt(d))
         dn = d ** -0.5
+        if deterministic:
+            # inference: the 6-D strided-reduce form has the faster FORWARD
+            # (~0.4ms/layer less at the bench geometry) and its VJP never
+            # runs
+            qkv7 = qkv.reshape(B, gh, gw, 3, nh, d)
+            k7 = qkv7[:, :, :, 1].reshape(B, hc, j, wc, j, nh, d)
+            v7 = qkv7[:, :, :, 2].reshape(B, hc, j, wc, j, nh, d)
+            w5 = weights.reshape(B, hc, wc, nh, d)
+            dash = dn * jnp.einsum("zaicjhd,zachd->zaicjh", k7, w5,
+                                   preferred_element_type=jnp.float32)
+            norm = (0.5 * dn) * jnp.sum(
+                jnp.square(k7.astype(jnp.float32)), axis=-1)
+            logp = dash - norm  # [B, hc, j, wc, j, nh]
+            m = jnp.max(logp, axis=(2, 4), keepdims=True)
+            p = jnp.exp(logp - m)
+            p = p / jnp.sum(p, axis=(2, 4), keepdims=True)
+            beta = jnp.einsum("zaicjh,zaicjhd->zachd", p.astype(qkv.dtype),
+                              v7)
+            return (rf_k_bar.reshape(B, c, hd), beta.reshape(B, c, hd))
+
+        # training: log phi(k)[n] = <w_chunk(n), k_n>/sqrt(d)
+        #                           - |k_n|^2/(2 sqrt(d))
         w_tok = jnp.einsum("cn,bcf->bnf", P,
                            weights.reshape(B, c, hd))  # [B, N, HD]
         k4 = kf.reshape(B, N, nh, d).astype(jnp.float32)
