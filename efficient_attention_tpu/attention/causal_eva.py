@@ -24,6 +24,15 @@ own self-test (``causal_eva.py:916-950``) probes):
 Dynamic "chunk fills up" logic (reference ``causal_eva.py:583-612``) becomes
 fixed-shape ``dynamic_update_slice`` writes + ``jnp.where`` commits keyed on
 counters derived from the absolute position.
+
+A quantified decode-delta comparison against the reference's decode rule is
+impossible: the reference's incremental entry point cannot execute at all —
+``forward`` with ``incremental_state`` hits an UnboundLocalError (``N`` is
+only assigned in the ``incremental_state is None`` branch,
+``causal_eva.py:504-509``; verified by running it).  The runnable ground
+truth is therefore its parallel path, which this module matches exactly
+(golden fixture ``tests/goldens/causal_eva_parallel.npz``) and which our
+incremental decode reproduces bit-exactly (``tests/test_causal_eva.py``).
 """
 from __future__ import annotations
 

@@ -123,7 +123,9 @@ class CausalSelfAttention(nn.Module):
         logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits * self.head_dim**-0.5
-        causal = jnp.triu(jnp.ones((T, T), bool), 1)
+        from efficient_attention_tpu.ops.misc import future_mask
+
+        causal = jnp.asarray(np.isneginf(future_mask(T)))
         logits = jnp.where(causal[None, None], MASK_VAL, logits)
         if key_padding_mask is not None:
             logits = jnp.where(

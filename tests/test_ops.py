@@ -205,23 +205,7 @@ class TestRPE:
 
 
 class TestMiscOps:
-    def test_look_around(self):
-        from efficient_attention_tpu.ops.misc import look_around
 
-        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2, 1)
-        out = look_around(x, backward=1, forward=0, pad_value=-1.0, axis=-2)
-        assert out.shape == (1, 3, 4, 1)
-        np.testing.assert_array_equal(out[0, 0, :, 0], [-1, -1, 0, 1])
-        np.testing.assert_array_equal(out[0, 1, :, 0], [0, 1, 2, 3])
-
-    def test_merger(self):
-        from efficient_attention_tpu.ops.misc import merger
-
-        x = jnp.array([[-1.0, 2.0], [3.0, -4.0]])
-        np.testing.assert_allclose(
-            merger(x, "identity-mean", axis=0), [1.0, -1.0])
-        np.testing.assert_allclose(
-            merger(x, "relu-max", axis=0), [3.0, 2.0])
 
     def test_future_mask(self):
         from efficient_attention_tpu.ops.misc import future_mask
