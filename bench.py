@@ -117,6 +117,10 @@ def attention_module_ms(attn_name: str, grid: int, dim=192, heads=3,
     args = {"dim": dim, "num_heads": heads}
     if attn_name == "eva":
         args.update(EVA_ARGS, impl=impl)
+    elif attn_name == "lara":
+        # the tracked LARA config: mis-opt, pool-mixed, 49 landmarks
+        args.update(num_landmarks=49, proposal_gen="pool-mixed",
+                    mis_type="mis-opt", attn_2d=True)
     m = AttentionFactory.build_attention(attn_name, args)
     x = jnp.ones((BATCH, grid, grid, dim), jnp.bfloat16)
     params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x,
@@ -127,6 +131,31 @@ def attention_module_ms(attn_name: str, grid: int, dim=192, heads=3,
         return m.apply(p, x, deterministic=True).astype(x.dtype)
 
     return _slope_time_ms(fwd, x, params)
+
+
+def train_step_ms(attn_name: str, impl: str = "packed",
+                  batch: int = 64) -> float:
+    """Full training fwd+bwd ms/step (the 300-epoch recipe's hot loop)."""
+    import optax
+
+    model = build(attn_name, impl=impl)
+    x = jnp.ones((batch, 224, 224, 3), jnp.bfloat16)
+    y = jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), 1000)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1],
+                                        deterministic=True))()
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def loss(p, x):
+        return optax.softmax_cross_entropy(
+            model.apply(p, x, deterministic=True), y).mean()
+
+    def fwd_bwd(x, p):
+        l, g = jax.value_and_grad(loss)(p, x)
+        gn = sum(jnp.sum(jnp.square(t.astype(jnp.float32)))
+                 for t in jax.tree_util.tree_leaves(g))
+        return x + (l + gn).astype(x.dtype) * 0
+
+    return _slope_time_ms(fwd_bwd, x, params, n1=3, n2=13)
 
 
 def main():
@@ -143,6 +172,20 @@ def main():
             "softmax_ms_per_layer": round(sm_ms, 3),
             "speedup": round(sm_ms / eva_ms, 3),
         }
+    # tracked LARA config at seq 784 (BASELINE.md)
+    lara_ms = attention_module_ms("lara", 28)
+    kernel[784]["lara_ms_per_layer"] = round(lara_ms, 3)
+    kernel[784]["lara_speedup"] = round(
+        kernel[784]["softmax_ms_per_layer"] / lara_ms, 3)
+
+    # training step (fused Pallas backward vs softmax baseline)
+    eva_train = train_step_ms("eva")
+    sm_train = train_step_ms("softmax")
+    train = {
+        "eva_ms_per_step_b64": round(eva_train, 2),
+        "softmax_ms_per_step_b64": round(sm_train, 2),
+        "speedup": round(sm_train / eva_train, 3),
+    }
 
     print(json.dumps({
         "metric": "deit_tiny_p8_eva_images_per_sec",
@@ -157,6 +200,7 @@ def main():
             "pallas_engaged": True,  # impl='packed' raises otherwise
             "attn_module_seq784": kernel[784],
             "attn_module_seq196": kernel[196],
+            "train_step": train,
             "device": str(jax.devices()[0]),
         },
     }))
