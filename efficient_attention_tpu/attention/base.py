@@ -23,6 +23,15 @@ Array = jax.Array
 
 # fp16/bf16-safe large-negative fill, matching the reference convention
 # (``local_attention.py:141``, ``eva.py:139``, ``causal_eva.py:488``).
+def on_tpu() -> bool:
+    """True when the default device is a TPU (incl. tunneled 'axon' TPUs)."""
+    try:
+        dev = jax.devices()[0]
+        return dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    except Exception:
+        return False
+
+
 MASK_VAL = -5e4
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)

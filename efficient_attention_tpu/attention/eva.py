@@ -33,13 +33,7 @@ from efficient_attention_tpu.ops.rpe import t5_bucket_table
 Array = jax.Array
 
 
-def _on_tpu() -> bool:
-    """True when the default device is a TPU (incl. tunneled 'axon' TPUs)."""
-    try:
-        dev = jax.devices()[0]
-        return dev.platform in ("tpu", "axon") or "TPU" in str(dev)
-    except Exception:
-        return False
+from efficient_attention_tpu.attention.base import on_tpu as _on_tpu
 
 
 class T5RelativePositionBias(nn.Module):

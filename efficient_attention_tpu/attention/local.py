@@ -131,6 +131,44 @@ class LocalAttention(MultiheadAttention):
             seq_shape = (N,)
         return x, key_padding_mask, seq_shape
 
+    def __call__(
+        self,
+        x: Array,
+        key_padding_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """Adds a packed zero-transpose Pallas fast path for 2-D square
+        windows (no halo, no padding mask, attn_drop=0, on TPU); otherwise
+        the base windowed-einsum path (``local_attention.py:134-182``)."""
+        from efficient_attention_tpu.attention.base import on_tpu
+
+        if (self.attn_2d and key_padding_mask is None
+                and self.ext_size == 0 and self.attn_drop == 0.0
+                and len(x.shape) == 4 and on_tpu()):
+            from efficient_attention_tpu.ops.pallas.local_packed import (
+                local_attention_packed,
+                supports_packed,
+            )
+
+            B, gh, gw, C = x.shape
+            N = gh * gw
+            ws = self.window_size
+            if (ws > 0 and gh % ws == 0 and gw % ws == 0
+                    and supports_packed(B, N, gw, ws)):
+                qkv = self.qkv(x.reshape(B, N, C))
+                bias = None
+                if self.rpe_enabled:
+                    bias = jnp.transpose(
+                        jnp.take(self.local_relative_position_bias_table,
+                                 self._rpe_index, axis=0)
+                        .reshape(ws * ws, ws * ws, self.num_heads),
+                        (2, 0, 1))
+                out = local_attention_packed(
+                    qkv, self.scale, self.num_heads, gw, ws, bias=bias)
+                x = self.proj(out.reshape(B, gh, gw, C))
+                return self.proj_dropout(x, deterministic=deterministic)
+        return super().__call__(x, key_padding_mask, deterministic)
+
     def _apply_attention(
         self,
         q: Array,

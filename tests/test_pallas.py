@@ -322,3 +322,76 @@ class TestPackedKernel:
         gd = jax.grad(loss(_xla_reference), argnums=(0, 1, 2))(qkv, rf, beta)
         for a, b in zip(gw, gd):
             np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+class TestLocalPacked:
+    """Packed blocked-local kernel (``ops/pallas/local_packed.py``)."""
+
+    def _inputs(self, rng, Bp=2, Wimg=8, ws=4, nh=3, d=16):
+        N = Wimg * Wimg
+        keys = jax.random.split(rng, 2)
+        qkv = jax.random.normal(keys[0], (Bp, N, 3 * nh * d))
+        bias = jax.random.normal(keys[1], (nh, ws * ws, ws * ws)) * 0.1
+        return qkv, bias
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_matches_reference(self, rng, with_bias):
+        from efficient_attention_tpu.ops.pallas.local_packed import (
+            _xla_rowmajor,
+            local_attention_packed,
+        )
+
+        Wimg, ws, nh, d = 8, 4, 3, 16
+        qkv, bias = self._inputs(rng, Wimg=Wimg, ws=ws, nh=nh, d=d)
+        scale = d ** -0.5
+        b = bias if with_bias else None
+        ref = _xla_rowmajor(qkv, scale, nh, Wimg, ws, b)
+        out = local_attention_packed(qkv, scale, nh, Wimg, ws, bias=b,
+                                     interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+    def test_strip_reference_matches_module_xla(self, rng):
+        """The strip-form oracle equals the LocalAttention windowed-einsum
+        module math."""
+        from efficient_attention_tpu.attention import LocalAttention
+        from efficient_attention_tpu.ops.pallas.local_packed import (
+            _xla_rowmajor,
+        )
+
+        Bp, g, dim, nh, ws = 2, 8, 48, 3, 4
+        x = jax.random.normal(rng, (Bp, g, g, dim))
+        m = LocalAttention(dim=dim, num_heads=nh, window_size=ws,
+                           attn_2d=True, use_rpe=True)
+        params = m.init(jax.random.PRNGKey(0), x, deterministic=True)
+        out_mod = m.apply(params, x, deterministic=True)  # CPU: einsum path
+
+        def packed_equiv(mod, x):
+            qkv = mod.qkv(x.reshape(Bp, g * g, dim))
+            bias = jnp.transpose(
+                jnp.take(mod.local_relative_position_bias_table,
+                         mod._rpe_index, axis=0)
+                .reshape(ws * ws, ws * ws, nh), (2, 0, 1))
+            out = _xla_rowmajor(qkv, mod.scale, nh, g, ws, bias)
+            return mod.proj_dropout(mod.proj(out.reshape(Bp, g, g, dim)),
+                                    deterministic=True)
+
+        from flax import linen as nn
+
+        out_strip = nn.apply(packed_equiv, m)(params, x)
+        np.testing.assert_allclose(np.asarray(out_strip),
+                                   np.asarray(out_mod), atol=3e-5, rtol=1e-4)
+
+    def test_grads_flow(self, rng):
+        from efficient_attention_tpu.ops.pallas.local_packed import (
+            local_attention_packed,
+        )
+
+        qkv, bias = self._inputs(rng)
+
+        def loss(qkv, bias):
+            return jnp.sum(local_attention_packed(
+                qkv, 0.25, 3, 8, 4, bias=bias, interpret=True) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+        assert all(jnp.isfinite(x).all() for x in g)
+        assert all(float(jnp.abs(x).sum()) > 0 for x in g)
