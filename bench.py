@@ -164,7 +164,7 @@ def main():
     softmax_ips = throughput(build("softmax"))
 
     kernel = {}
-    for grid in (28, 14):  # seq 784 / 196
+    for grid in (56, 28, 14):  # seq 3136 / 784 / 196
         eva_ms = attention_module_ms("eva", grid)
         sm_ms = attention_module_ms("softmax", grid)
         kernel[grid * grid] = {
@@ -187,6 +187,19 @@ def main():
         "speedup": round(sm_train / eva_train, 3),
     }
 
+    # PVTv2 multi-scale tracked config (stages at seq 3136/784/196/49)
+    def pvt_ips(attn_name):
+        attn_args = dict(EVA_ARGS, impl="auto") if attn_name == "eva" else {}
+        model = create_model("pvt_nano", attn_name=attn_name,
+                             attn_args=attn_args, img_size=224,
+                             num_classes=1000)
+        return throughput(model)
+
+    pvt = {"eva_images_per_sec": round(pvt_ips("eva"), 2),
+           "softmax_images_per_sec": round(pvt_ips("softmax"), 2)}
+    pvt["speedup"] = round(
+        pvt["eva_images_per_sec"] / pvt["softmax_images_per_sec"], 3)
+
     print(json.dumps({
         "metric": "deit_tiny_p8_eva_images_per_sec",
         "value": round(eva_ips, 2),
@@ -198,9 +211,11 @@ def main():
             "seq_len": 784,
             "dtype": "bfloat16",
             "pallas_engaged": True,  # impl='packed' raises otherwise
+            "attn_module_seq3136": kernel[3136],
             "attn_module_seq784": kernel[784],
             "attn_module_seq196": kernel[196],
             "train_step": train,
+            "pvt_nano": pvt,
             "device": str(jax.devices()[0]),
         },
     }))
