@@ -187,6 +187,48 @@ def main():
         "speedup": round(sm_train / eva_train, 3),
     }
 
+    # causal-EVA LM training step at long context (the wikitext decoder
+    # config, window 128 / chunk 8 / t5-rpe / adaptive qk); at the recipe's
+    # T=512 the two are at parity (~31ms) — EVA's win grows with context
+    import argparse as _ap
+
+    import optax
+
+    from efficient_attention_tpu.cli.train_lm import build_model
+
+    def lm_train_ms(attn, T=2048, Bb=4):
+        args = _ap.Namespace(
+            decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
+            decoder_layers=8, decoder_attention_heads=8,
+            attn_name_decoder=attn, dropout=0.0, max_len=T,
+            adaptive_cutoffs=None, criterion="cross_entropy",
+            attn_args_decoder=_ap.Namespace(
+                window_size=128, chunk_size=8, adaptive_proj="qk",
+                use_t5_rpe=True, causal=True, overlap_window=False))
+        model = build_model(args, vocab_size=32000)
+        toks = jnp.ones((Bb, T), jnp.int32)
+        tgts = jnp.ones((Bb, T), jnp.int32)
+        params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), toks))()
+
+        def loss(p, t):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                model.apply(p, t), tgts).mean()
+
+        def fwd_bwd(t, p):
+            l, g = jax.value_and_grad(loss, argnums=0)(p, t)
+            gn = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                     for x in jax.tree_util.tree_leaves(g))
+            # runtime-zero but not statically-zero dependency (int*0 folds)
+            return t + ((jnp.abs(l) + gn) > 1e30).astype(t.dtype)
+
+        return _slope_time_ms(fwd_bwd, toks, params, n1=3, n2=13)
+
+    ceva = lm_train_ms("causal_eva")
+    sm_lm = lm_train_ms("softmax")
+    lm_train = {"causal_eva_ms_per_step_t2048": round(ceva, 2),
+                "softmax_ms_per_step_t2048": round(sm_lm, 2),
+                "speedup": round(sm_lm / ceva, 3)}
+
     # PVTv2 multi-scale tracked config (stages at seq 3136/784/196/49)
     def pvt_ips(attn_name):
         attn_args = dict(EVA_ARGS, impl="auto") if attn_name == "eva" else {}
@@ -215,6 +257,7 @@ def main():
             "attn_module_seq784": kernel[784],
             "attn_module_seq196": kernel[196],
             "train_step": train,
+            "lm_train_step": lm_train,
             "pvt_nano": pvt,
             "device": str(jax.devices()[0]),
         },
