@@ -398,6 +398,23 @@ class EVA(LocalAttention):
                 "impl='packed' requires attn_2d, no padding mask, no halo, "
                 "attn_drop=0, on TPU")
 
+        if self.impl == "pallas":
+            # validate the Swin-kernel geometry BEFORE any real compute so
+            # a strict request fails fast (window count/size are static)
+            from efficient_attention_tpu.ops.pallas.eva_kernel import (
+                supports_shapes,
+            )
+
+            ws_ = self.window_size
+            g_count = (N // (ws_ * ws_)) if self.attn_2d else (N // ws_)
+            s_size = ws_ * ws_ if self.attn_2d else ws_
+            if not (padding_free and self.ext_size == 0
+                    and self.attn_drop == 0.0 and _on_tpu()
+                    and ws_ > 0 and supports_shapes(B, g_count, s_size)):
+                raise ValueError(
+                    "impl='pallas' requires TPU, no halo, and no padding "
+                    "mask")
+
         q, k, v = self.proj_and_split_heads(x)
 
         if padding_free and self.ext_size == 0:

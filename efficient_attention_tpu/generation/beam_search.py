@@ -8,8 +8,15 @@ by a batched gather — the analogue of ``reorder_incremental_state``
 (``causal_eva.py:835-849``).
 
 Supports beam search with length penalty (the MT recipe's ``--beam 4
---lenpen 0.6``, ``main.sh:170-172``) and greedy/sampling as degenerate
-cases.
+--lenpen 0.6``, ``main.sh:170-172``), Diverse Beam Search, Diverse
+Siblings, prefix-constrained decoding, n-gram repeat blocking, and
+greedy/sampling as degenerate cases.
+
+Not implemented: ``LexicallyConstrainedBeamSearch`` (``search.py:210-550``)
+— its per-hypothesis constraint-trie state is inherently dynamic-shape and
+host-driven; the static prefix constraint covers the common force-decoding
+use, and full lexical constraints would need a different (host-in-the-loop)
+decode driver.
 """
 from __future__ import annotations
 
