@@ -80,6 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh-model", default=1, type=int)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--tensorboard-logdir", default=None, type=str)
+    parser.add_argument("--wandb-project", default=None, type=str)
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(parser)
     return parser
@@ -280,6 +281,12 @@ def main(args) -> dict:
         from efficient_attention_tpu.training.tensorboard import SummaryWriter
 
         tb = SummaryWriter(args.tensorboard_logdir)
+    from efficient_attention_tpu.training.wandb_sink import WandBLogger
+
+    wb = WandBLogger(getattr(args, "wandb_project", None),
+                     run_name=f"{args.model}-{args.attn_name}",
+                     config=vars(args) if is_primary() else None,
+                     log_dir=args.output_dir) if is_primary() else None
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
     for epoch in range(start_epoch, args.epochs):
@@ -313,10 +320,12 @@ def main(args) -> dict:
                   "epoch_time": time.time() - t0}
         if is_primary():
             write_log_line(log_path, record)
+        scalars = {k: v for k, v in record.items()
+                   if isinstance(v, (int, float))}
         if tb is not None:
-            tb.add_scalars(
-                {k: v for k, v in record.items()
-                 if isinstance(v, (int, float))}, step=int(state.step))
+            tb.add_scalars(scalars, step=int(state.step))
+        if wb is not None:
+            wb.log(scalars, step=int(state.step))
         ckpt.save(int(state.step), state,
                   metrics={"acc1": val_stats.get("acc1", 0.0)})
         history = record
