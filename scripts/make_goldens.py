@@ -124,5 +124,27 @@ def main():
           out.transpose(0, 1).contiguous())  # store batch-major
 
 
+def lara_golden():
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    import torch
+
+    from efficient_attention import LinearRA
+
+    rng = np.random.default_rng(7)
+    x2d = torch.from_numpy(
+        rng.normal(0, 1, (2, 8, 8, 48)).astype(np.float32))
+    # the tracked LARA configuration (mis-opt, pool-mixed) scaled down
+    m = LinearRA(dim=48, num_heads=4, num_landmarks=4,
+                 proposal_gen="pool-mixed", mis_type="mis-opt",
+                 alpha_coeff=2.0)
+    m.eval()
+    _fill_params(m, seed=5)
+    with torch.no_grad():
+        out = m(x2d.clone())
+    _dump(os.path.join(OUT_DIR, "lara_pool_mixed.npz"), m, x2d, out)
+
+
 if __name__ == "__main__":
     main()
+    lara_golden()

@@ -127,3 +127,25 @@ class TestGoldenCausalEVA:
         out = m.apply(params, jnp.asarray(x), deterministic=True)
         np.testing.assert_allclose(np.asarray(out), ref_out,
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestGoldenLARA:
+    def test_lara_pool_mixed_matches_reference(self):
+        from efficient_attention_tpu import AttentionFactory
+
+        x, ref_out, tp = _load("lara_pool_mixed.npz")
+        m = AttentionFactory.build_attention("lara", {
+            "dim": 48, "num_heads": 4, "num_landmarks": 4,
+            "proposal_gen": "pool-mixed", "mis_type": "mis-opt",
+            "attn_2d": True, "alpha_coeff": 2.0})
+        params = {"params": {
+            "qkv": _dense(tp, "qkv"),
+            "proj": _dense(tp, "proj"),
+            "q_bar_gen": {"layers_0": _dense(tp, "q_bar_gen.2"),
+                          "layers_1": _ln(tp, "q_bar_gen.3")},
+            "k_bar_gen": {"layers_0": _dense(tp, "k_bar_gen.2"),
+                          "layers_1": _ln(tp, "k_bar_gen.3")},
+        }}
+        out = m.apply(params, jnp.asarray(x), deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   atol=3e-5, rtol=1e-4)
