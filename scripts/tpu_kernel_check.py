@@ -14,6 +14,8 @@ m_xla = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
             attn_2d=True, use_rpe=True, impl="xla")
 m_pal = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
             attn_2d=True, use_rpe=True, impl="pallas")
+m_pkd = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
+            attn_2d=True, use_rpe=True, impl="packed")
 params = jax.jit(lambda: m_xla.init(jax.random.PRNGKey(0), x[:1],
                                     deterministic=True))()
 
@@ -23,6 +25,11 @@ o1 = np.asarray(f_xla(params, x[:4]))
 o2 = np.asarray(f_pal(params, x[:4]))
 err = np.abs(o1 - o2).max()
 print("max abs err xla vs pallas (f32):", err)
+assert err < 1e-3, err
+f_pkd = jax.jit(lambda p, x: m_pkd.apply(p, x, deterministic=True))
+o3 = np.asarray(f_pkd(params, x[:4]))
+err = np.abs(o1 - o3).max()
+print("max abs err xla vs packed (f32):", err)
 assert err < 1e-3, err
 
 def timed(f, p, x, iters=30):
@@ -39,3 +46,4 @@ xb = x.astype(jnp.bfloat16)
 pb = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), params)
 print("xla    ms/iter:", round(timed(m_xla.apply and f_xla, pb, xb), 3))
 print("pallas ms/iter:", round(timed(f_pal, pb, xb), 3))
+print("packed ms/iter:", round(timed(f_pkd, pb, xb), 3))
