@@ -22,9 +22,17 @@ Prints ONE JSON line:
    "vs_baseline": EVA-vs-softmax speedup on the same chip, "detail": {...}}
 """
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: ~8 min of this benchmark is XLA compiles; warm
+# runs (CI/driver re-runs on the same machine) skip them
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 from efficient_attention_tpu import AttentionFactory
