@@ -22,7 +22,6 @@ shape-preserving randomized augs (erasing/mixup) run on device instead.
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np

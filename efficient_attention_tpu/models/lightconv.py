@@ -19,7 +19,7 @@ sees x[t-K+1 .. t] only — verified by the no-future-leak test.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
