@@ -14,7 +14,7 @@ the published RandAugment/AutoAugment semantics:
   * geometric ops fill exposed pixels with the ImageNet mean color
 
 timm additionally disables color jitter whenever auto-augment is active;
-``build_color_jitter`` mirrors that at the call site.
+``build_train_augment`` mirrors that dispatch rule.
 
 Runs on the host decode pool (PIL ops are not shape-preserving or are
 byte-domain, so the device is the wrong place for them); the
