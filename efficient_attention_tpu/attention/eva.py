@@ -367,6 +367,12 @@ class EVA(LocalAttention):
             rf_win_size = int(math.sqrt(N // self.num_landmarks))
         else:
             rf_win_size = int(N // self.num_landmarks)
+        if rf_win_size == 0:
+            raise ValueError(
+                f"num_landmarks={self.num_landmarks} exceeds the "
+                f"(padded) sequence length {N}; the RF chunk size would be "
+                "0 (the reference fails the same way, reference "
+                "eva.py:155-158)")
 
         # ---- packed zero-transpose path (preferred on TPU) ----
         if (self.impl in ("auto", "packed")

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     parser.add_argument("--prefix-size", type=int, default=0,
                         help="force hypotheses to start with the first N "
                              "reference tokens")
+    parser.add_argument("--constraints", action="store_true",
+                        help="lexically-constrained decoding: interactive "
+                             "input lines carry tab-separated constraint "
+                             "phrases after the sentence "
+                             "(fairseq --constraints)")
     known, _ = parser.parse_known_args(argv)
     parser = AttentionFactory.add_attn_specific_args(
         parser, known.attn_name_encoder, struct_name="attn_args_encoder",

@@ -32,6 +32,18 @@ def cli_main(argv=None):
 
     print("| Type the input sentence and press return:", file=sys.stderr)
     for line in sys.stdin:
+        constraints = None
+        if getattr(args, "constraints", False):
+            # fairseq_cli/interactive.py:59-79 — constraint phrases arrive
+            # tab-separated after the sentence
+            line, *phrases = line.rstrip("\n").split("\t")
+            if phrases:
+                rows = [td.encode_line(p, append_eos=False) for p in phrases]
+                cl = max(1, max(len(r) for r in rows))
+                arr = np.full((1, len(rows), cl), td.pad(), np.int32)
+                for i, r in enumerate(rows):
+                    arr[0, i, : len(r)] = r
+                constraints = jnp.asarray(arr)
         src = collate_tokens([sd.encode_line(line)], pad_idx=sd.pad())
         enc_out, enc_pad = model.apply(params, jnp.asarray(src),
                                        method=TransformerModel.encode)
@@ -50,7 +62,7 @@ def cli_main(argv=None):
                                      method=TransformerModel.init_decode_state),
             vocab_size=len(td), beam_size=K, max_len=args.max_len_b,
             len_penalty=args.lenpen, pad=td.pad(), eos=td.eos())
-        tokens, scores = gen.generate(batch=1)
+        tokens, scores = gen.generate(batch=1, constraints=constraints)
         hyp = np.asarray(tokens[0, 0, 1:])
         eos_pos = np.where(hyp == td.eos())[0]
         if len(eos_pos):

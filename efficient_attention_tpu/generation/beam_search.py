@@ -9,14 +9,11 @@ by a batched gather — the analogue of ``reorder_incremental_state``
 
 Supports beam search with length penalty (the MT recipe's ``--beam 4
 --lenpen 0.6``, ``main.sh:170-172``), Diverse Beam Search, Diverse
-Siblings, prefix-constrained decoding, n-gram repeat blocking, and
+Siblings, prefix-constrained decoding, lexically-constrained decoding
+(Post & Vilar dynamic bank allocation — fixed-shape automata in
+``generation/constraints.py`` replace fairseq's host-side constraint
+tries, ``search.py:210-550``), n-gram repeat blocking, and
 greedy/sampling as degenerate cases.
-
-Not implemented: ``LexicallyConstrainedBeamSearch`` (``search.py:210-550``)
-— its per-hypothesis constraint-trie state is inherently dynamic-shape and
-host-driven; the static prefix constraint covers the common force-decoding
-use, and full lexical constraints would need a different (host-in-the-loop)
-decode driver.
 """
 from __future__ import annotations
 
@@ -38,6 +35,7 @@ class BeamState(NamedTuple):
     finished_mask: Array   # [B, K] bool
     cache: Any             # decode-state pytree, batch dim = B*K
     step: Array            # scalar
+    cons: Any = ()         # lexical-constraint state pytree (or ())
 
 
 def _gather_beams(tree: Any, indices: Array, batch: int, beams: int) -> Any:
@@ -223,7 +221,8 @@ class SequenceGenerator:
         return top_scores, top_idx // V, top_idx % V
 
     def generate(self, batch: int,
-                 prefix_tokens: Optional[Array] = None) -> Tuple[Array, Array]:
+                 prefix_tokens: Optional[Array] = None,
+                 constraints: Optional[Array] = None) -> Tuple[Array, Array]:
         """Run the full beam loop; returns (tokens [B, K, L+1],
         scores [B, K]) sorted best-first.
 
@@ -232,11 +231,28 @@ class SequenceGenerator:
         end a batch row's constraint early) — the fairseq
         ``--prefix-size`` / PrefixConstrainedBeamSearch behavior for static
         prefixes.
+
+        ``constraints`` [B, NC, CL] (pad-padded token rows) requires every
+        non-empty row to appear contiguously in the output — fairseq's
+        ``--constraints`` / LexicallyConstrainedBeamSearch via dynamic bank
+        allocation (``generation/constraints.py``); eos is banned until a
+        hypothesis has generated all its constraints.
         """
         K, V = self.beam_size, self.vocab_size
         state = self._init_state(batch)
         if prefix_tokens is not None:
             prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+        if constraints is not None:
+            from efficient_attention_tpu.generation import constraints as C
+
+            cons = jnp.asarray(constraints, jnp.int32)
+            cons_lens = C.constraint_lengths(cons, self.pad)
+            state = state._replace(
+                cons=C.init_state(batch, K, cons.shape[1]))
+            if self.diversity_groups > 1 or self.diverse_siblings_gamma > 0:
+                raise ValueError("lexical constraints cannot combine with "
+                                 "diverse search strategies (fairseq "
+                                 "sequence_generator.py raises likewise)")
 
         def cond(state: BeamState):
             best_alive = jnp.max(
@@ -279,6 +295,11 @@ class SequenceGenerator:
             step_len = state.step + 1
             eos_scores = cand[:, :, self.eos] / _length_penalty(
                 step_len.astype(jnp.float32), self.len_penalty)
+            if constraints is not None:
+                # unfinished hypotheses may not terminate
+                # (``search.py:309-323``)
+                fin = C.finished(cons_lens, state.cons)
+                eos_scores = jnp.where(fin, eos_scores, NEG_INF)
             # merge into finished set (keep top-K of old + new)
             fin_scores = jnp.concatenate(
                 [jnp.where(state.finished_mask, state.finished_scores,
@@ -296,14 +317,24 @@ class SequenceGenerator:
 
             # alive candidates: mask out eos, select under the strategy
             cand = cand.at[:, :, self.eos].set(NEG_INF)
-            top_scores, beam_idx, tok_idx = self._select_alive(
-                cand, batch, state.step)
+            if constraints is not None:
+                alive = state.log_probs > NEG_INF / 2
+                top_scores, beam_idx, tok_idx = C.dba_select(
+                    cand, state.cons, cons, cons_lens, alive, K)
+            else:
+                top_scores, beam_idx, tok_idx = self._select_alive(
+                    cand, batch, state.step)
             new_tokens = jnp.take_along_axis(
                 state.tokens, beam_idx[..., None], axis=1)
             new_tokens = jax.lax.dynamic_update_slice_in_dim(
                 new_tokens, tok_idx[..., None].astype(jnp.int32),
                 state.step + 1, axis=2)
             cache = _gather_beams(cache, beam_idx, batch, K)
+            new_cons = state.cons
+            if constraints is not None:
+                new_cons = C.advance(
+                    cons, cons_lens, C.gather_state(state.cons, beam_idx),
+                    tok_idx)
 
             return BeamState(
                 tokens=new_tokens,
@@ -313,6 +344,7 @@ class SequenceGenerator:
                 finished_mask=new_finished_mask,
                 cache=cache,
                 step=state.step + 1,
+                cons=new_cons,
             )
 
         state = jax.lax.while_loop(cond, body, state)

@@ -131,3 +131,26 @@ def test_mt_pipeline_preprocess_train_generate(tmp_path):
     assert result["sentences"] == 16
     # reversing 2-5 known words after 80 updates: far above chance BLEU
     assert result["bleu"] > 10.0, result
+
+    # interactive with lexical constraints: the constraint word must appear
+    # in the hypothesis even though the model would not produce it freely
+    # (fairseq_cli/interactive.py --constraints)
+    import io
+    import sys as _sys
+
+    from efficient_attention_tpu.cli import interactive
+
+    stdin, stdout = _sys.stdin, _sys.stdout
+    try:
+        _sys.stdin = io.StringIO("the cat sat\tbird\n")
+        _sys.stdout = io.StringIO()
+        interactive.cli_main(common + [
+            "--optimizer", "adam", "--max-update", "80",
+            "--path", os.path.join(save_dir, "ckpt"),
+            "--beam", "2", "--max-len-b", "16", "--constraints",
+        ])
+        out = _sys.stdout.getvalue()
+    finally:
+        _sys.stdin, _sys.stdout = stdin, stdout
+    hyp_lines = [l for l in out.splitlines() if l.startswith("H-")]
+    assert len(hyp_lines) == 1 and "bird" in hyp_lines[0], out

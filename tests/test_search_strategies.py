@@ -150,3 +150,140 @@ class TestDiverseSiblings:
             SequenceGenerator(lambda *a: None, lambda b, l: (), vocab_size=V,
                               beam_size=4, diversity_groups=2,
                               diverse_siblings_gamma=0.1)
+
+
+class TestLexicallyConstrained:
+    """DBA lexically-constrained decoding (``search.py:210-527``) via the
+    static automata of ``generation/constraints.py``."""
+
+    def _gen(self, tables, beam=2, max_len=6, **kw):
+        return SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                 vocab_size=V, beam_size=beam,
+                                 max_len=max_len, eos=EOS, pad=PAD,
+                                 len_penalty=0.0, **kw)
+
+    def test_single_token_constraint_steers(self):
+        # the model strongly prefers 3-then-eos; constraint demands a 5
+        tables = _logp([[1, 1, 1e-6, 100, 1, 1e-3],
+                        [1, 1, 100, 10, 1, 1e-3]] * 3)
+        gen = self._gen(tables, max_len=5)
+        cons = jnp.asarray([[[5, PAD, PAD]]], jnp.int32)  # [B=1, NC=1, CL=3]
+        tokens, scores = gen.generate(batch=1, constraints=cons)
+        best = np.asarray(tokens[0, 0])
+        assert 5 in best.tolist(), best
+        assert EOS in best[1:].tolist()  # still terminates
+
+    def test_unconstrained_matches_plain_beam(self):
+        tables = _logp([[1, 1, 1e-6, 10, 2, 1],
+                        [1, 1, 50, 10, 2, 1]] * 2)
+        gen = self._gen(tables, max_len=4)
+        empty = jnp.full((1, 1, 2), PAD, jnp.int32)  # zero-length rows
+        t_c, s_c = gen.generate(batch=1, constraints=empty)
+        t_p, s_p = gen.generate(batch=1)
+        np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_p))
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_p),
+                                   atol=1e-5)
+
+    def test_multi_token_constraint_contiguous(self):
+        # constraint [4, 5] must appear contiguously; model prefers 3s
+        tables = _logp([[1, 1, 1e-6, 100, 1, 1]] * 5
+                       + [[1, 1, 100, 1, 1, 1]])
+        gen = self._gen(tables, beam=4, max_len=6)
+        cons = jnp.asarray([[[4, 5, PAD]]], jnp.int32)
+        tokens, _ = gen.generate(batch=1, constraints=cons)
+        best = np.asarray(tokens[0, 0]).tolist()
+        ok = any(best[i] == 4 and best[i + 1] == 5
+                 for i in range(len(best) - 1))
+        assert ok, best
+
+    def test_eos_banned_until_met(self):
+        # model wants to stop immediately; constraint forces a 4 first
+        tables = _logp([[1e-3, 1e-3, 100, 1e-3, 1, 1e-3]] * 4)
+        gen = self._gen(tables, max_len=4)
+        cons = jnp.asarray([[[4, PAD]]], jnp.int32)
+        tokens, _ = gen.generate(batch=1, constraints=cons)
+        best = np.asarray(tokens[0, 0]).tolist()
+        eos_pos = best[1:].index(EOS) + 1
+        assert 4 in best[1:eos_pos], best
+
+    def test_two_constraints_both_satisfied(self):
+        tables = _logp([[1, 1, 1e-6, 100, 1, 1]] * 5
+                       + [[1, 1, 100, 1, 1, 1]])
+        gen = self._gen(tables, beam=4, max_len=6)
+        cons = jnp.asarray([[[4, PAD], [5, PAD]]], jnp.int32)
+        tokens, _ = gen.generate(batch=1, constraints=cons)
+        best = np.asarray(tokens[0, 0]).tolist()
+        assert 4 in best[1:] and 5 in best[1:], best
+
+    def test_duplicate_constraint_needs_two_occurrences(self):
+        tables = _logp([[1, 1, 1e-6, 100, 1, 1]] * 5
+                       + [[1, 1, 100, 1, 1, 1]])
+        gen = self._gen(tables, beam=4, max_len=6)
+        cons = jnp.asarray([[[4, PAD], [4, PAD]]], jnp.int32)
+        tokens, _ = gen.generate(batch=1, constraints=cons)
+        best = np.asarray(tokens[0, 0]).tolist()
+        assert best[1:].count(4) >= 2, best
+
+    def test_per_row_constraints(self):
+        # row 0 requires a 4, row 1 requires a 5; model prefers 3
+        tables = _logp([[1, 1, 1e-6, 100, 1, 1],
+                        [1, 1, 100, 10, 1, 1]] * 3)
+        gen = self._gen(tables, max_len=5)
+        cons = jnp.asarray([[[4, PAD]], [[5, PAD]]], jnp.int32)
+        tokens, _ = gen.generate(batch=2, constraints=cons)
+        assert 4 in np.asarray(tokens[0, 0]).tolist()[1:]
+        assert 5 in np.asarray(tokens[1, 0]).tolist()[1:]
+
+
+class TestConstraintAutomata:
+    """Unit semantics of the fixed-shape constraint state."""
+
+    def _mk(self, rows, CL=4):
+        import numpy as _np
+        cons = _np.full((1, len(rows), CL), PAD, _np.int32)
+        for i, r in enumerate(rows):
+            cons[0, i, :len(r)] = r
+        return jnp.asarray(cons)
+
+    def _run(self, rows, tokens):
+        from efficient_attention_tpu.generation import constraints as C
+        cons = self._mk(rows)
+        lens = C.constraint_lengths(cons, PAD)
+        st = C.init_state(1, 1, cons.shape[1])
+        for t in tokens:
+            st = C.advance(cons, lens, st,
+                           jnp.asarray([[t]], jnp.int32))
+        return C, cons, lens, st
+
+    def test_progress_and_bank(self):
+        C, cons, lens, st = self._run([[4, 5, 3]], [4, 5])
+        assert int(st.pos[0, 0, 0]) == 2 and not bool(st.met[0, 0, 0])
+        assert int(C.bank(lens, st)[0, 0]) == 2
+
+    def test_mismatch_rewinds_to_root(self):
+        C, cons, lens, st = self._run([[4, 5, 3]], [4, 0])
+        assert int(st.pos[0, 0, 0]) == 0
+        # restart directly on the first token (root child)
+        C, cons, lens, st = self._run([[4, 5, 3]], [4, 4])
+        assert int(st.pos[0, 0, 0]) == 1
+
+    def test_completion_and_finished(self):
+        C, cons, lens, st = self._run([[4, 5]], [4, 5])
+        assert bool(st.met[0, 0, 0])
+        assert bool(C.finished(lens, st)[0, 0])
+        assert int(C.bank(lens, st)[0, 0]) == 2  # met tokens count
+
+    def test_overlapping_match_recognized(self):
+        # constraints ["a b c", "b d"] over "a b d": the b inside the dead
+        # "a b" prefix also starts "b d" (the reference trie misses this)
+        a, b, c, d = 3, 4, 5, 0
+        C, cons, lens, st = self._run([[a, b, c], [b, d]], [a, b, d])
+        assert bool(st.met[0, 0, 1])
+
+    def test_duplicate_rows_complete_one_at_a_time(self):
+        C, cons, lens, st = self._run([[4], [4]], [4])
+        met = np.asarray(st.met[0, 0])
+        assert met.tolist() == [True, False]
+        assert not bool(C.finished(lens, st)[0, 0])
+        C2, cons2, lens2, st2 = self._run([[4], [4]], [4, 4])
+        assert np.asarray(st2.met[0, 0]).tolist() == [True, True]
