@@ -132,6 +132,9 @@ class ScatterBrain(KernelizedAttention, LocalAttention):
         x = jnp.swapaxes(output, 1, 2).reshape(B, N, C)
         x = self.proj(x)
         x = x[:, :orig_n]
+        if self.attn_2d:
+            # 2-D inputs keep their grid shape (``scatterbrain_attention.py:161``)
+            x = x.reshape((B,) + tuple(seq_shape) + (C,))
         return self.proj_dropout(x, deterministic=deterministic)
 
     @staticmethod

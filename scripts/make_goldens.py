@@ -145,6 +145,60 @@ def lara_golden():
     _dump(os.path.join(OUT_DIR, "lara_pool_mixed.npz"), m, x2d, out)
 
 
+def kernelized_golden():
+    """Performer/favorp golden: ``sample_scheme='learnable'`` makes the
+    random projection a recorded *parameter*, so both frameworks consume
+    the identical matrix (eval-mode 'default' buffers are RNG-dependent
+    and cannot cross frameworks)."""
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    import torch
+
+    from efficient_attention import KernelizedAttention
+
+    rng = np.random.default_rng(11)
+    x1d = torch.from_numpy(
+        rng.normal(0, 1, (2, 16, 48)).astype(np.float32))
+    m = KernelizedAttention(dim=48, num_heads=4, proj_method="favorp",
+                            sample_scheme="learnable", approx_attn_dim=32)
+    m.eval()
+    _fill_params(m, seed=6)
+    # scale-1 projection (0.05-scale features barely discriminate)
+    with torch.no_grad():
+        m.random_proj.copy_(torch.from_numpy(
+            rng.normal(0, 1, m.random_proj.shape).astype(np.float32)))
+    with torch.no_grad():
+        out = m(x1d.clone())
+    _dump(os.path.join(OUT_DIR, "kernelized_favorp.npz"), m, x1d, out)
+
+
+def scatterbrain_golden():
+    """ScatterBrain (sparse local + log-space favorp low-rank) golden,
+    2-D windows, learnable projection (same rationale as above)."""
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    import torch
+
+    from efficient_attention import ScatterBrain
+
+    rng = np.random.default_rng(12)
+    x2d = torch.from_numpy(
+        rng.normal(0, 1, (2, 8, 8, 48)).astype(np.float32))
+    m = ScatterBrain(dim=48, num_heads=4, window_size=4, attn_2d=True,
+                     proj_method="favorp", sample_scheme="learnable",
+                     approx_attn_dim=32)
+    m.eval()
+    _fill_params(m, seed=8)
+    with torch.no_grad():
+        m.random_proj.copy_(torch.from_numpy(
+            rng.normal(0, 1, m.random_proj.shape).astype(np.float32)))
+    with torch.no_grad():
+        out = m(x2d.clone())
+    _dump(os.path.join(OUT_DIR, "scatterbrain.npz"), m, x2d, out)
+
+
 if __name__ == "__main__":
     main()
     lara_golden()
+    kernelized_golden()
+    scatterbrain_golden()

@@ -149,3 +149,42 @@ class TestGoldenLARA:
         out = m.apply(params, jnp.asarray(x), deterministic=True)
         np.testing.assert_allclose(np.asarray(out), ref_out,
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestGoldenKernelized:
+    def test_kernelized_favorp_matches_reference(self):
+        from efficient_attention_tpu import AttentionFactory
+
+        x, ref_out, tp = _load("kernelized_favorp.npz")
+        # learnable sample scheme: the projection is a recorded parameter,
+        # so both frameworks consume the identical matrix
+        m = AttentionFactory.build_attention("performer", {
+            "dim": 48, "num_heads": 4, "proj_method": "favorp",
+            "sample_scheme": "learnable", "approx_attn_dim": 32})
+        params = {"params": {
+            "qkv": _dense(tp, "qkv"),
+            "proj": _dense(tp, "proj"),
+            "random_proj": jnp.asarray(tp["random_proj"]),
+        }}
+        out = m.apply(params, jnp.asarray(x), deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   atol=3e-5, rtol=1e-4)
+
+
+class TestGoldenScatterBrain:
+    def test_scatterbrain_matches_reference(self):
+        from efficient_attention_tpu import AttentionFactory
+
+        x, ref_out, tp = _load("scatterbrain.npz")
+        m = AttentionFactory.build_attention("scatterbrain", {
+            "dim": 48, "num_heads": 4, "window_size": 4, "attn_2d": True,
+            "proj_method": "favorp", "sample_scheme": "learnable",
+            "approx_attn_dim": 32})
+        params = {"params": {
+            "qkv": _dense(tp, "qkv"),
+            "proj": _dense(tp, "proj"),
+            "random_proj": jnp.asarray(tp["random_proj"]),
+        }}
+        out = m.apply(params, jnp.asarray(x), deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   atol=3e-5, rtol=1e-4)
