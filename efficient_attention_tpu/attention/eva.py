@@ -131,10 +131,13 @@ class EVA(LocalAttention):
         training routes every chunk reduction through a STATIC 0/1 chunk-
         membership matrix ``P [C, N]`` so both directions are plain matmuls
         (6-D strided-einsum VJPs cost ~10x their forward on TPU); inference
-        uses the 6-D strided-reduce form whose FORWARD is ~0.4ms/layer
-        faster at the bench geometry.  Math identical to the partitioned
-        path (``eva.py:150-196``); ``adaptive_mu_*`` parameters are shared
-        (Dense/LN act on the minor head_dim axis).
+        uses the 6-D strided-reduce form, which XLA fuses into the qkv
+        producer (measured IN-MODULE 1.66 vs 2.08 ms/layer in round 2 —
+        note the matmul form wins when stage-timed in isolation, 0.70 vs
+        0.87 ms, but loses fused; trust the in-module number).  Math
+        identical to the partitioned path (``eva.py:150-196``);
+        ``adaptive_mu_*`` parameters are shared (Dense/LN act on the minor
+        head_dim axis).
         """
         nh = self.num_heads
         d = self.head_dim
@@ -170,8 +173,8 @@ class EVA(LocalAttention):
 
         dn = d ** -0.5
         if deterministic:
-            # inference: the 6-D strided-reduce form has the faster FORWARD
-            # (~0.4ms/layer less at the bench geometry) and its VJP never
+            # inference: the 6-D strided-reduce form fuses into the qkv
+            # producer (faster in-module; see docstring) and its VJP never
             # runs
             qkv7 = qkv.reshape(B, gh, gw, 3, nh, d)
             k7 = qkv7[:, :, :, 1].reshape(B, hc, j, wc, j, nh, d)

@@ -55,6 +55,7 @@ def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
         return None
     for rb in (8, 4, 2, 1):
         # fp32 logits [RB, TGS, TGS] + [RB, TGS, C] dominate VMEM
+        # (RB=16 was tried in round 2: 20.4M scoped vmem, over the 16M cap)
         if b % rb == 0 and rb * tgs * (tgs + 128) * 4 <= 3_200_000:
             return rb, tgs
     return None

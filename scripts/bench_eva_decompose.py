@@ -4,6 +4,7 @@ Variants of the round-1 kernel at the bench geometry, each removing one
 stage, to find where the 2.9ms/call actually goes.
 """
 from __future__ import annotations
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # noqa: E702
 
 import functools
 import time

@@ -15,6 +15,7 @@ over the axon tunnel), best of 3 windows.
 Usage: python scripts/bench_eva_kernel_variants.py
 """
 from __future__ import annotations
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # noqa: E702
 
 import functools
 import time

@@ -1,5 +1,6 @@
 """Find the real IO floor: XLA copy vs pallas copies with various grids."""
 from __future__ import annotations
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # noqa: E702
 
 import functools
 

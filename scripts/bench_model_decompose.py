@@ -6,6 +6,7 @@ Slope-timed (fixed ~30ms tunnel round-trip cancelled). Measures:
     eva sub-stages
 """
 from __future__ import annotations
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # noqa: E702
 
 import functools
 
