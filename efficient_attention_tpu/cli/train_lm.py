@@ -182,12 +182,30 @@ def main(args) -> dict:
     order_rng = np.random.default_rng(args.seed)
     order = order_rng.permutation(n_blocks)
     pos = 0
-    t0 = time.time()
-    stats = {}
-    while int(state.step) < args.max_update:
+
+    def _advance_order(order, pos):
         if pos + batch_size > n_blocks:
             order = order_rng.permutation(n_blocks)
             pos = 0
+        return order, pos
+
+    # auto-resume from the newest checkpoint (fairseq train.py:162 —
+    # load_checkpoint restores trainer state AND the iterator position;
+    # here the batch order is a deterministic function of (seed, step), so
+    # the pointer is replayed instead of serialized)
+    last = ckpt.latest_step()
+    if last is not None and last > 0:
+        state = ckpt.restore(state, step=last)
+        state = jax.device_put(state, repl)
+        for _ in range(last):
+            order, pos = _advance_order(order, pos)
+            pos += batch_size
+        print(f"| resumed from checkpoint step {last}")
+
+    t0 = time.time()
+    stats = {}
+    while int(state.step) < args.max_update:
+        order, pos = _advance_order(order, pos)
         idx = order[pos: pos + batch_size]
         pos += batch_size
         batch = np.stack([blocks[int(i)] for i in idx])

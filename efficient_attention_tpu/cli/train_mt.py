@@ -185,6 +185,14 @@ def main(args) -> dict:
     order_rng = np.random.default_rng(args.seed)
     stats = {}
     t0 = time.time()
+    # auto-resume (fairseq train.py:162): restore the newest checkpoint
+    # and skip forward through the deterministic (seed-driven) batch
+    # sequence to the restored step
+    skip = ckpt.latest_step() or 0
+    if skip > 0:
+        state = ckpt.restore(state, step=skip)
+        state = jax.device_put(state, repl)
+        print(f"| resumed from checkpoint step {skip}")
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
         order = order[np.argsort(sizes[order], kind="stable")]
@@ -197,6 +205,9 @@ def main(args) -> dict:
             if len(bidx) % n_dev != 0:
                 bidx = bidx[: len(bidx) - (len(bidx) % n_dev)]
             if len(bidx) == 0:
+                continue
+            if skip > 0:
+                skip -= 1
                 continue
             samples = [pairs[int(i)] for i in bidx]
             src_b = collate_tokens([s for s, _ in samples], pad_idx=1)

@@ -154,3 +154,59 @@ def test_mt_pipeline_preprocess_train_generate(tmp_path):
         _sys.stdin, _sys.stdout = stdin, stdout
     hyp_lines = [l for l in out.splitlines() if l.startswith("H-")]
     assert len(hyp_lines) == 1 and "bird" in hyp_lines[0], out
+
+
+@pytest.mark.timeout(600)
+def test_lm_resume_is_bit_stable(tmp_path):
+    """``fairseq/tests/test_reproducibility.py`` analogue: training 20
+    steps straight and training 10 + resume + 10 must land on the exact
+    same loss (checkpoint restores the full optimizer state, and the batch
+    order replays deterministically from (seed, step))."""
+    from efficient_attention_tpu.cli import train_lm
+
+    common = [
+        "--dummy-data", "--dummy-vocab", "200", "--tokens-per-sample", "32",
+        "--max-tokens", "128", "--decoder-embed-dim", "32",
+        "--decoder-ffn-embed-dim", "64", "--decoder-layers", "1",
+        "--decoder-attention-heads", "2", "--dropout", "0.1",
+        "--optimizer", "adam", "--lr", "1e-3", "--warmup-updates", "2",
+        "--log-interval", "10", "--save-interval-updates", "10",
+        "--seed", "7",
+    ]
+    straight = train_lm.cli_main(
+        common + ["--max-update", "20",
+                  "--save-dir", str(tmp_path / "a")])
+    first = train_lm.cli_main(
+        common + ["--max-update", "10",
+                  "--save-dir", str(tmp_path / "b")])
+    assert first["step"] == 10
+    resumed = train_lm.cli_main(
+        common + ["--max-update", "20",
+                  "--save-dir", str(tmp_path / "b")])
+    assert resumed["step"] == 20 and straight["step"] == 20
+    assert resumed["loss"] == straight["loss"], (straight, resumed)
+
+
+@pytest.mark.timeout(600)
+def test_mt_resume_is_bit_stable(tmp_path):
+    """Same reproducibility contract for the MT trainer (its skip-forward
+    replays the seed-driven epoch/batch shuffle)."""
+    from efficient_attention_tpu.cli import train_mt
+
+    common = [
+        "--dummy-data", "--dummy-vocab", "100", "--max-tokens", "128",
+        "--max-len", "16", "--encoder-embed-dim", "32",
+        "--encoder-ffn-embed-dim", "64", "--encoder-layers", "1",
+        "--encoder-attention-heads", "2", "--dropout", "0.1",
+        "--optimizer", "adam", "--lr", "1e-3", "--warmup-updates", "2",
+        "--log-interval", "10", "--save-interval-updates", "8",
+        "--label-smoothing", "0.1", "--seed", "3",
+    ]
+    straight = train_mt.cli_main(
+        common + ["--max-update", "16", "--save-dir", str(tmp_path / "a")])
+    train_mt.cli_main(
+        common + ["--max-update", "8", "--save-dir", str(tmp_path / "b")])
+    resumed = train_mt.cli_main(
+        common + ["--max-update", "16", "--save-dir", str(tmp_path / "b")])
+    assert resumed["step"] == 16 and straight["step"] == 16
+    assert resumed["loss"] == straight["loss"], (straight, resumed)
