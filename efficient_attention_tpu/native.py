@@ -60,6 +60,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.eatpu_ngram_repeat_block.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
         ctypes.c_int64]
+    lib.eatpu_alignment_train.restype = None
+    lib.eatpu_alignment_train.argtypes = [
+        f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float]
     _lib = lib
     return _lib
 
@@ -160,3 +164,29 @@ def ngram_repeat_block(tokens: np.ndarray, ngram_size: int,
                                  ngram_size, _ptr(out), _ptr(counts),
                                  max_banned)
     return [out[r, :counts[r]].tolist() for r in range(n_rows)]
+
+
+def alignment_train(p_choose: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Monotonic-attention expected alignment on CPU (the reference's
+    ``examples/operators/alignment_train_cpu.cpp``); the JAX/TPU twin is
+    ``ops/alignment.py:expected_alignment_from_p_choose``."""
+    lib = get_lib()
+    p = np.ascontiguousarray(p_choose, np.float32)
+    b, t, s = p.shape
+    out = np.zeros_like(p)
+    if lib is None:
+        # numpy fallback, same recurrence
+        for bi in range(b):
+            prev = np.zeros(s, np.float32)
+            prev[0] = 1.0
+            for ti in range(t):
+                row = p[bi, ti]
+                cpe = np.concatenate(
+                    [[1.0], np.cumprod(1.0 - row)[:-1]]).astype(np.float32)
+                denom = np.clip(cpe, eps, 1.0)
+                scan = np.cumsum(prev / denom)
+                prev = np.clip(scan * row * cpe, 0.0, 1.0)
+                out[bi, ti] = prev
+        return out
+    lib.eatpu_alignment_train(_ptr(p), _ptr(out), b, t, s, eps)
+    return out

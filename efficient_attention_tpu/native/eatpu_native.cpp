@@ -193,4 +193,38 @@ void eatpu_ngram_repeat_block(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Monotonic-attention expected alignment — alignment-train equivalent
+// (reference examples/operators/alignment_train_cpu.cpp:80-133).
+// p_choose: [bsz * tgt_len * src_len] row-major fp32; writes alpha of the
+// same shape.  alpha_t = p_t * excl_cumprod(1-p_t)
+//                            * cumsum(alpha_{t-1} / clamp(excl_cumprod)).
+// ---------------------------------------------------------------------------
+void eatpu_alignment_train(
+    const float* p_choose, float* alpha,
+    int64_t bsz, int64_t tgt_len, int64_t src_len, float eps) {
+  std::vector<float> cumprod_ex(src_len), denom(src_len), prev(src_len);
+  for (int64_t b = 0; b < bsz; ++b) {
+    // previous row starts as [1, 0, 0, ...]
+    std::fill(prev.begin(), prev.end(), 0.0f);
+    prev[0] = 1.0f;
+    for (int64_t t = 0; t < tgt_len; ++t) {
+      const float* p = p_choose + (b * tgt_len + t) * src_len;
+      float* out = alpha + (b * tgt_len + t) * src_len;
+      float run = 1.0f;
+      for (int64_t s = 0; s < src_len; ++s) {
+        cumprod_ex[s] = run;
+        run *= 1.0f - p[s];
+        denom[s] = std::min(std::max(cumprod_ex[s], eps), 1.0f);
+      }
+      float scan = 0.0f;
+      for (int64_t s = 0; s < src_len; ++s) {
+        scan += prev[s] / denom[s];
+        out[s] = std::min(std::max(scan * p[s] * cumprod_ex[s], 0.0f), 1.0f);
+      }
+      std::copy(out, out + src_len, prev.begin());
+    }
+  }
+}
+
 }  // extern "C"

@@ -90,3 +90,90 @@ def test_bleu_known_value():
     s2 = BleuScorer()
     s2.add([5, 6, 7, 8], [5, 6, 9, 8])
     assert 0.0 <= s2.score() < 100.0
+
+
+class TestAlignmentTrain:
+    """Monotonic-attention expected alignment: native CPU vs JAX scan
+    (reference ``examples/operators/alignment_train_cpu.cpp``)."""
+
+    def _rand(self, b=3, t=5, s=7, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(0.05, 0.95, (b, t, s)).astype(np.float32)
+
+    def test_native_matches_jax(self):
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.native import alignment_train
+        from efficient_attention_tpu.ops.alignment import (
+            expected_alignment_from_p_choose,
+        )
+
+        p = self._rand()
+        a_native = alignment_train(p)
+        a_jax = np.asarray(
+            expected_alignment_from_p_choose(jnp.asarray(p)))
+        np.testing.assert_allclose(a_native, a_jax, atol=1e-5, rtol=1e-5)
+
+    def test_python_fallback_matches_native(self, monkeypatch):
+        from efficient_attention_tpu import native
+
+        p = self._rand(seed=1)
+        want = native.alignment_train(p)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        got = native.alignment_train(p)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_hand_computed_first_row(self):
+        # alpha_0 = p_0 * exclusive_cumprod(1 - p_0)  (scan term is 1)
+        from efficient_attention_tpu.native import alignment_train
+
+        p = self._rand(b=1, t=1, s=4, seed=2)
+        row = p[0, 0]
+        cpe = np.concatenate([[1.0], np.cumprod(1.0 - row)[:-1]])
+        np.testing.assert_allclose(alignment_train(p)[0, 0], row * cpe,
+                                   atol=1e-6)
+
+    def test_hard_monotonic_stays_put(self):
+        # p == 1 everywhere: source 0 is always chosen, so every target
+        # step aligns to source 0 (the monotonic head never advances past
+        # an always-accepting position)
+        from efficient_attention_tpu.native import alignment_train
+
+        p = np.ones((1, 3, 5), np.float32)
+        a = alignment_train(p)
+        want = np.zeros((3, 5), np.float32)
+        want[:, 0] = 1.0
+        np.testing.assert_allclose(a[0], want, atol=1e-6)
+
+    def test_hard_reject_first_advances(self):
+        # p[:, :, 0] == 0, p elsewhere == 1: the head skips source 0 and
+        # locks onto source 1 for every target step
+        from efficient_attention_tpu.native import alignment_train
+
+        p = np.ones((1, 2, 4), np.float32)
+        p[:, :, 0] = 0.0
+        a = alignment_train(p)
+        want = np.zeros((2, 4), np.float32)
+        want[:, 1] = 1.0
+        np.testing.assert_allclose(a[0], want, atol=1e-6)
+
+    def test_rows_are_subprobability(self):
+        from efficient_attention_tpu.native import alignment_train
+
+        a = alignment_train(self._rand(seed=3))
+        sums = a.sum(-1)
+        assert (sums <= 1.0 + 1e-4).all() and (a >= 0).all()
+
+    def test_jax_version_is_differentiable(self):
+        import jax
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.ops.alignment import (
+            expected_alignment_from_p_choose,
+        )
+
+        p = jnp.asarray(self._rand(b=1, t=3, s=4, seed=4))
+        g = jax.grad(
+            lambda x: expected_alignment_from_p_choose(x).sum())(p)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
