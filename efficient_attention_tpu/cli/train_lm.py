@@ -63,27 +63,20 @@ def parse_args(argv=None):
     from efficient_attention_tpu.config_yaml import (
         add_config_flag,
         apply_yaml_config,
-        load_yaml_config,
+        preparse_overrides,
     )
-
-    import sys
 
     parser = build_parser()
     add_config_flag(parser)
-    known, _ = parser.parse_known_args(argv)
     # a YAML config may choose the attention class — honor it in the
     # two-pass registration unless the CLI names one explicitly
-    attn_name = known.attn_name_decoder
-    cli_tokens = list(sys.argv[1:] if argv is None else argv)
-    if known.config and "--attn-name-decoder" not in cli_tokens:
-        attn_name = load_yaml_config(known.config).get(
-            "attn_name_decoder", attn_name)
+    names = preparse_overrides(parser, argv, ["attn_name_decoder"])
     parser = AttentionFactory.add_attn_specific_args(
-        parser, attn_name, struct_name="attn_args_decoder",
+        parser, names["attn_name_decoder"], struct_name="attn_args_decoder",
         prefix="decoder-attn")
     parser.add_argument("--help", action="help")
     args = parser.parse_args(argv, namespace=NestedNamespace())
-    args.attn_name_decoder = attn_name
+    args.attn_name_decoder = names["attn_name_decoder"]
     return apply_yaml_config(args, parser, argv)
 
 

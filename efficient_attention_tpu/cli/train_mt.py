@@ -55,35 +55,27 @@ def build_parser():
 
 
 def parse_args(argv=None):
-    import sys
-
     from efficient_attention_tpu import AttentionFactory, NestedNamespace
     from efficient_attention_tpu.config_yaml import (
         add_config_flag,
         apply_yaml_config,
-        load_yaml_config,
+        preparse_overrides,
     )
 
     parser = build_parser()
     add_config_flag(parser)
-    known, _ = parser.parse_known_args(argv)
-    enc_name, dec_name = known.attn_name_encoder, known.attn_name_decoder
-    cli_tokens = list(sys.argv[1:] if argv is None else argv)
-    if known.config:
-        cfg = load_yaml_config(known.config)
-        if "--attn-name-encoder" not in cli_tokens:
-            enc_name = cfg.get("attn_name_encoder", enc_name)
-        if "--attn-name-decoder" not in cli_tokens:
-            dec_name = cfg.get("attn_name_decoder", dec_name)
+    names = preparse_overrides(
+        parser, argv, ["attn_name_encoder", "attn_name_decoder"])
     parser = AttentionFactory.add_attn_specific_args(
-        parser, enc_name, struct_name="attn_args_encoder",
+        parser, names["attn_name_encoder"], struct_name="attn_args_encoder",
         prefix="encoder-attn")
     parser = AttentionFactory.add_attn_specific_args(
-        parser, dec_name, struct_name="attn_args_decoder",
+        parser, names["attn_name_decoder"], struct_name="attn_args_decoder",
         prefix="decoder-attn")
     parser.add_argument("--help", action="help")
     args = parser.parse_args(argv, namespace=NestedNamespace())
-    args.attn_name_encoder, args.attn_name_decoder = enc_name, dec_name
+    args.attn_name_encoder = names["attn_name_encoder"]
+    args.attn_name_decoder = names["attn_name_decoder"]
     return apply_yaml_config(args, parser, argv)
 
 

@@ -93,25 +93,16 @@ def parse_args(argv=None):
     from efficient_attention_tpu.models.efficient_vit import EfficientTransformer
     from efficient_attention_tpu.models.pvt import PyramidVisionTransformerV2
 
-    import sys
-
     from efficient_attention_tpu.config_yaml import (
         add_config_flag,
         apply_yaml_config,
-        load_yaml_config,
+        preparse_overrides,
     )
 
     parser = build_parser()
     add_config_flag(parser)
-    known, _ = parser.parse_known_args(argv)
-    model_name, attn_name = known.model, known.attn_name
-    cli_tokens = list(sys.argv[1:] if argv is None else argv)
-    if known.config:
-        cfg = load_yaml_config(known.config)
-        if "--model" not in cli_tokens:
-            model_name = cfg.get("model", model_name)
-        if "--attn-name" not in cli_tokens:
-            attn_name = cfg.get("attn_name", attn_name)
+    names = preparse_overrides(parser, argv, ["model", "attn_name"])
+    model_name, attn_name = names["model"], names["attn_name"]
     if model_name.startswith("pvt"):
         parser = PyramidVisionTransformerV2.add_model_specific_args(parser)
     else:

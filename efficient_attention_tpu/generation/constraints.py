@@ -197,8 +197,15 @@ def dba_select(cand: Array, state: ConstraintState, cons: Array,
             jnp.maximum, jnp.where(change, idx, 0))
         rank = idx - seg_start
         max_bank = jnp.max(banks_s)
-        stripes = (max_bank - banks_s) + rank * (n + 1)
-        stripes = jnp.where(valid_s, stripes, (n + 1) * (n + 1) + idx)
+        # the rank multiplier must exceed the bank-deficit range (bounded
+        # by max_bank, i.e. total constraint TOKENS — not by n), or a
+        # rank-1 candidate of a deep bank outranks rank-0 candidates of
+        # shallow banks and DBA degenerates to all-one-bank; fairseq's
+        # fixed `len(banks) + 1` multiplier (search.py:496) has exactly
+        # that overflow for constraints longer than the candidate list
+        mult = max_bank + 1
+        stripes = (max_bank - banks_s) + rank * mult
+        stripes = jnp.where(valid_s, stripes, (n + 1) * mult + idx)
         o3 = jnp.argsort(stripes, stable=True)
         final = order[o3][:K]
         return scores[final], beams[final], toks[final]

@@ -11,9 +11,12 @@ landmarks) into its pipeline stages to locate the remaining fat vs the
   module     whole EVA module (cross-check: stages should ~sum to it)
 
 Round-2 findings this script drove (numbers on the tunneled v5e):
-  * the 6-D strided-reduce eval summaries (0.87 ms) were SLOWER than the
-    matmul form (0.70 ms) — the module now uses the matmul form for both
-    train and eval;
+  * stage-ISOLATED, the 6-D strided-reduce eval summaries (0.87 ms) look
+    slower than the matmul form (0.70 ms) — but swapping the eval path to
+    the matmul form made the fused module 25% SLOWER (1.66 -> 2.08
+    ms/layer: XLA folds the strided-reduce reads into the qkv producer,
+    which isolation hides), so eval keeps the 6-D form.  Trust in-module
+    numbers over isolated stage numbers;
   * a fused Pallas beta kernel (block-diag membership matmuls, one VMEM
     pass over k/v) measured 0.70 ms vs XLA's 0.57-0.68 ms for the same
     math, i.e. XLA already executes this reduction chain near its MXU

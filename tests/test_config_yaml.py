@@ -103,3 +103,77 @@ class TestCliIntegration:
         assert args.attn_args_encoder.num_landmarks == 8
         assert args.attn_args_decoder.window_size == 16
         assert args.lr == 7e-4
+
+
+class TestReviewRegressions:
+    """Regressions from the round-2 self-review of the config layer."""
+
+    def test_diamond_include_is_not_circular(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("a: 1\n")
+        (tmp_path / "g1.yaml").write_text("defaults:\n  - base.yaml\nb: 2\n")
+        (tmp_path / "g2.yaml").write_text("defaults:\n  - base.yaml\nc: 3\n")
+        (tmp_path / "top.yaml").write_text(
+            "defaults:\n  - g1.yaml\n  - g2.yaml\n")
+        cfg = load_yaml_config(str(tmp_path / "top.yaml"))
+        assert cfg == {"a": 1, "b": 2, "c": 3}
+
+    def test_equals_form_cli_beats_yaml(self, tmp_path):
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text("attn_name_decoder: causal_eva\nlr: 0.5\n")
+        args = parse_args(["--config", str(cfg),
+                           "--attn-name-decoder=softmax", "--lr=2.0"])
+        assert args.attn_name_decoder == "softmax"
+        assert args.lr == 2.0
+
+    def test_abbreviated_flag_beats_yaml(self, tmp_path):
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text("max-update: 99\n")
+        # argparse prefix abbreviation: --max-upd resolves to --max-update
+        args = parse_args(["--config", str(cfg), "--max-upd", "500"])
+        assert args.max_update == 500
+
+    def test_unknown_yaml_key_raises(self, tmp_path):
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text("max_updates: 99\n")  # typo: no such option
+        with pytest.raises(ValueError, match="unknown config key"):
+            parse_args(["--config", str(cfg)])
+
+    def test_yaml_value_choices_and_coercion(self, tmp_path):
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text("optimizer: nagg\n")  # not a valid choice
+        with pytest.raises(ValueError, match="not in"):
+            parse_args(["--config", str(cfg)])
+        cfg.write_text("lr: '0.25'\n")  # string coerced through type=float
+        args = parse_args(["--config", str(cfg)])
+        assert args.lr == 0.25 and isinstance(args.lr, float)
+
+    def test_shipped_vit_recipe_sets_clip_grad(self):
+        from efficient_attention_tpu.cli.train_vit import parse_args
+
+        args = parse_args(["--config",
+                           os.path.join(CONFIGS, "imagenet_deit_eva.yaml"),
+                           "--data-set", "SYNTHETIC"])
+        assert args.clip_grad == 5.0  # the reference recipe's --clip-grad
+
+    def test_cli_class_override_drops_stale_nested_group(self, tmp_path):
+        # overriding the class on the CLI must not crash on the YAML's
+        # nested args for the no-longer-selected class (hydra swaps the
+        # whole group likewise)
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text(
+            "attn_name_decoder: causal_eva\n"
+            "attn_args_decoder:\n"
+            "  window_size: 64\n")
+        args = parse_args(["--config", str(cfg),
+                           "--attn-name-decoder=softmax"])
+        assert args.attn_name_decoder == "softmax"

@@ -287,3 +287,36 @@ class TestConstraintAutomata:
         assert not bool(C.finished(lens, st)[0, 0])
         C2, cons2, lens2, st2 = self._run([[4], [4]], [4, 4])
         assert np.asarray(st2.met[0, 0]).tolist() == [True, True]
+
+
+class TestDBAStripeRegression:
+    def test_long_constraint_does_not_evict_all_banks(self):
+        """Review regression: with a constraint longer than the candidate
+        list, the stripe multiplier must still allocate beam slots across
+        banks (rank-0 of every bank before any rank-1) — fairseq's fixed
+        multiplier overflows here and hands every slot to the deep bank."""
+        import numpy as _np
+
+        from efficient_attention_tpu.generation import constraints as C
+
+        K, V, L = 2, 6, 20
+        cons = jnp.asarray(
+            _np.full((1, 1, L), 0, _np.int32))  # 20-token constraint of 0s
+        lens = C.constraint_lengths(cons, PAD)
+        # BOTH beams deep into the constraint (pos 18) -> their constraint
+        # tokens land in the same bank 19 (ranks 0 and 1); beam 1's best
+        # free token (3) is the lone bank-0 candidate
+        st = C.ConstraintState(
+            pos=jnp.asarray([[[18], [18]]], jnp.int32),
+            met=jnp.zeros((1, K, 1), bool))
+        cand = jnp.asarray([[[-5.0, -1e9, -1e9, -6.0, -7.0, -8.0],
+                             [-5.5, -1e9, -1e9, -0.1, -2.0, -3.0]]],
+                           jnp.float32)
+        alive = jnp.ones((1, K), bool)
+        _, beams, toks = C.dba_select(cand, st, cons, lens, alive, K)
+        picked = {(int(beams[0, k]), int(toks[0, k])) for k in range(K)}
+        # round-robin: rank-0 of bank 19, then rank-0 of bank 0 — with the
+        # old n+1 multiplier, bank 19's RANK-1 (stripe 9) beat bank 0's
+        # rank-0 (stripe 19) and the whole beam collapsed into one bank
+        assert (0, 0) in picked, picked       # bank-19 rank-0
+        assert (1, 3) in picked, picked       # bank-0 rank-0
