@@ -93,29 +93,9 @@ def throughput(model, dtype=jnp.bfloat16) -> float:
     return BATCH * ITERS / best
 
 
-def _slope_time_ms(fn, first, *args, n1=10, n2=60) -> float:
-    """ms per fn-call via the slope method (cancels the tunnel's fixed
-    ~30ms round-trip); fn(first, *args) must return an array of
-    first.shape."""
-    times = {}
-    for iters in (n1, n2):
-        @jax.jit
-        def loop(first, *a, _n=iters):
-            def body(c, _):
-                return fn(c, *a).astype(first.dtype), ()
-
-            c, _ = jax.lax.scan(body, first, None, length=_n)
-            return c.astype(jnp.float32).sum()
-
-        acc = loop(first, *args) + loop(first, *args)
-        float(acc)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(loop(first, *args))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    return (times[n2] - times[n1]) / (n2 - n1) * 1e3
+# ms per fn-call via the slope method (cancels the tunnel's fixed ~30ms
+# round-trip); single shared implementation, also used by scripts/bench_*
+from efficient_attention_tpu.utils.bench_util import timeit_loop as _slope_time_ms  # noqa: E402,E501
 
 
 def attention_module_ms(attn_name: str, grid: int, dim=192, heads=3,

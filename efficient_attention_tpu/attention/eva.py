@@ -159,10 +159,19 @@ class EVA(LocalAttention):
         kf = qkv[:, :, hd:2 * hd]
         vf = qkv[:, :, 2 * hd:]
 
-        k_mean = jnp.einsum("cn,bnf->bcf", P_mean, kf).reshape(B, c, nh, d)
+        # In f32 the default MXU precision truncates operands to bf16, which
+        # drifts k_mean ~1.5e-4 from an exact mean (amplified to ~8e-3 in
+        # rf_k_bar by the adaptive-proj LayerNorm) and breaks the "math
+        # identical to the partitioned path" contract; HIGHEST restores
+        # ~1e-9 parity.  bf16 inputs have nothing to preserve, so keep the
+        # fast single-pass MXU mode there.
+        prec = (jax.lax.Precision.HIGHEST if qkv.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        k_mean = jnp.einsum("cn,bnf->bcf", P_mean, kf,
+                            precision=prec).reshape(B, c, nh, d)
         if self.adaptive_proj in ("default", "no-ln"):
-            q_mean = jnp.einsum("cn,bnf->bcf", P_mean,
-                                qf).reshape(B, c, nh, d)
+            q_mean = jnp.einsum("cn,bnf->bcf", P_mean, qf,
+                                precision=prec).reshape(B, c, nh, d)
             rf_q_bar = self.adaptive_mu_q(q_mean)
             rf_k_bar = self.adaptive_mu_k(k_mean)
             mu = 0.5 * (rf_q_bar + rf_k_bar)
@@ -395,7 +404,8 @@ class EVA(LocalAttention):
                         == N
                         and gh % rf_win_size == 0 and gw % rf_win_size == 0)
             if (ws_ > 0 and gh % ws_ == 0 and gw % ws_ == 0 and chunk_ok
-                    and supports_packed(B, N, gw, ws_)):
+                    and supports_packed(B, N, gw, ws_,
+                                        c=self.num_landmarks)):
                 return self._forward_packed(
                     x, seq_shape, rf_win_size, deterministic)
             if self.impl == "packed":

@@ -344,11 +344,17 @@ def main(args) -> dict:
 
 
 def evaluate(val_ds, state, eval_step, args, n_dev) -> dict:
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from efficient_attention_tpu.data.imagenet import PrefetchLoader, shard_indices
 
-    idx = shard_indices(len(val_ds), 0, args.seed, shuffle=False)
+    # each process decodes/scores only its shard of the val set (the train
+    # loader is sharded the same way); per-process sums are combined below
+    nproc, pid = jax.process_count(), jax.process_index()
+    idx = shard_indices(len(val_ds), 0, args.seed, num_replicas=nproc,
+                        rank=pid, shuffle=False)
     loader = PrefetchLoader(val_ds, args.batch_size * n_dev, idx,
                             num_threads=args.num_workers, drop_last=True)
     agg = {"acc1": 0.0, "acc5": 0.0, "loss": 0.0}
@@ -360,7 +366,15 @@ def evaluate(val_ds, state, eval_step, args, n_dev) -> dict:
         for k in agg:
             agg[k] += float(out[k])
         n += 1
-    return {k: v / max(n, 1) for k, v in agg.items()}
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        totals = np.sum(multihost_utils.process_allgather(
+            np.array([agg["acc1"], agg["acc5"], agg["loss"], float(n)])),
+            axis=0)
+        agg = dict(zip(("acc1", "acc5", "loss"), totals[:3]))
+        n = int(totals[3])
+    return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
 
 def compute_throughput(model, params, args) -> dict:

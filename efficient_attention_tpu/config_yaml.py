@@ -137,6 +137,9 @@ def apply_yaml_config(args: argparse.Namespace,
     cfg = load_yaml_config(cfg_path)
     explicit = _explicit_dests(parser, _cli_tokens(argv))
     actions = {a.dest: a for a in parser._actions}
+    # flat keys may be dash- or underscore-spelled; the sibling-class lookup
+    # below must see the normalized spelling either way
+    cfg_norm = {k.replace("-", "_"): v for k, v in cfg.items()}
     for key, val in cfg.items():
         dest = key.replace("-", "_")
         if isinstance(val, dict):
@@ -146,7 +149,7 @@ def apply_yaml_config(args: argparse.Namespace,
             # (hydra swaps the whole config group likewise)
             name_dest = {"attn_specific_args": "attn_name"}.get(
                 dest, dest.replace("attn_args_", "attn_name_"))
-            cfg_name = cfg.get(name_dest)
+            cfg_name = cfg_norm.get(name_dest)
             if (cfg_name is not None
                     and getattr(args, name_dest, cfg_name) != cfg_name):
                 continue

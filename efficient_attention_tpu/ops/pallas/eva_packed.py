@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VAL = -5e4
 
 
-def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
+def _pick_rows(b: int, n: int, W: int, ws: int,
+               c: int = 0) -> Optional[Tuple[int, int]]:
     """(RB batch rows/step, TGS tokens/step).
 
     TGS = one full window-row strip (W*ws tokens): the smallest row block
@@ -49,20 +50,26 @@ def _pick_rows(b: int, n: int, W: int, ws: int) -> Optional[Tuple[int, int]]:
     rule is dodged by reshaping the token axis to [n/TGS, TGS] outside the
     kernel — a free reshape — so TGS becomes a full (hence layout-legal)
     block dimension.
+
+    ``c`` is the number of chunk columns (EVA's num_landmarks; 0 for the
+    chunk-less local kernel).  The budget floors it at 128 so small-C picks
+    match the round-2 tuning, but a C >> 128 config shrinks RB (or bails to
+    the XLA path) instead of blowing the scoped-VMEM allocation.
     """
     tgs = W * ws
     if tgs <= 0 or n % tgs != 0:
         return None
+    cols = tgs + max(c, 128)
     for rb in (8, 4, 2, 1):
         # fp32 logits [RB, TGS, TGS] + [RB, TGS, C] dominate VMEM
         # (RB=16 was tried in round 2: 20.4M scoped vmem, over the 16M cap)
-        if b % rb == 0 and rb * tgs * (tgs + 128) * 4 <= 3_200_000:
+        if b % rb == 0 and rb * tgs * cols * 4 <= 3_200_000:
             return rb, tgs
     return None
 
 
-def supports_packed(b: int, n: int, W: int, ws: int) -> bool:
-    return W % ws == 0 and ws > 0 and _pick_rows(b, n, W, ws) is not None
+def supports_packed(b: int, n: int, W: int, ws: int, c: int = 0) -> bool:
+    return W % ws == 0 and ws > 0 and _pick_rows(b, n, W, ws, c) is not None
 
 
 def _rowmajor_vis(W: int, ws: int, tgs: int) -> np.ndarray:
@@ -71,6 +78,30 @@ def _rowmajor_vis(W: int, ws: int, tgs: int) -> np.ndarray:
     t = np.arange(tgs)
     win = (t // (W * ws)) * (W // ws) + (t % W) // ws
     return win[:, None] == win[None, :]
+
+
+def _strip_maps(W: int, ws: int, tgs: int) -> Tuple[jax.Array, jax.Array]:
+    """(Rj, mask_add) for a row-major strip of ``tgs`` tokens.
+
+    ``Rj [tgs, ws*ws]`` is the one-hot token -> Swin-local-coordinate
+    matrix used to permute a per-window ``[S, S]`` bias into token
+    coordinates via two tiny matmuls (:func:`_bias_to_token_coords`);
+    ``mask_add [tgs, tgs]`` is the additive cross-window visibility mask.
+    Cross-window entries of the permuted bias are wrong but carry MASK_VAL,
+    so they never survive the softmax.
+    """
+    t = np.arange(tgs)
+    loc = ((t // W) % ws) * ws + (t % W) % ws
+    R = np.zeros((tgs, ws * ws), np.float32)
+    R[np.arange(tgs), loc] = 1.0
+    vis = _rowmajor_vis(W, ws, tgs)
+    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    return jnp.asarray(R), mask_add
+
+
+def _bias_to_token_coords(bias: jax.Array, Rj: jax.Array) -> jax.Array:
+    """Permute a Swin-local ``[H, S, S]`` bias into token coordinates."""
+    return jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32), Rj)
 
 
 def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
@@ -119,7 +150,7 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
     B, N, three_hd = qkv.shape
     d = three_hd // (3 * nh)
     C = rf_p.shape[1]
-    RB, TGS = _pick_rows(B, N, W, ws)
+    RB, TGS = _pick_rows(B, N, W, ws, C)
     ns = N // TGS
     qkv4 = qkv.reshape(B, ns, TGS, three_hd)  # free: contiguous split
     grid = (B // RB, ns)
@@ -244,11 +275,11 @@ def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
     B, N, three_hd = qkv.shape
     d = three_hd // (3 * nh)
     C = rf_p.shape[1]
-    RB, TGS = _pick_rows(B, N, W, ws)
+    RB, TGS = _pick_rows(B, N, W, ws, C)
     # the backward keeps ~3x more fp32 [RB, TGS, TGS] values live than the
     # forward (P, dP, dS per branch); halve the batch rows per step twice
     # to stay inside the 16MB VMEM scoped allocation
-    while RB > 1 and RB * TGS * (TGS + 128) * 4 > 1_100_000:
+    while RB > 1 and RB * TGS * (TGS + max(C, 128)) * 4 > 1_100_000:
         RB //= 2
     ns = N // TGS
     qkv4 = qkv.reshape(B, ns, TGS, three_hd)
@@ -285,7 +316,8 @@ def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
 
 
 def _xla_rowmajor(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
-    """Row-major-strip joint softmax on the packed layout — the VJP source.
+    """Row-major-strip joint softmax on the packed layout (test oracle
+    only; the registered VJP is the fused Pallas :func:`_bwd_fused`).
 
     Mirrors the kernel's own strip structure: the token axis splits into
     [ns, TGS] by a FREE reshape, cross-window visibility is the static
@@ -304,19 +336,11 @@ def _xla_rowmajor(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
     q, k, v = qkv6[:, :, :, 0], qkv6[:, :, :, 1], qkv6[:, :, :, 2]
     rf = rf_p.reshape(B, C, nh, d)
     bt = beta_p.reshape(B, C, nh, d)
-    vis = _rowmajor_vis(W, ws, TGS)
-    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    Rj, mask_add = _strip_maps(W, ws, TGS)
     local = jnp.einsum("bsihd,bsjhd->bshij", q, k,
                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
-        t = np.arange(TGS)
-        loc = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((TGS, ws * ws), np.float32)
-        R[np.arange(TGS), loc] = 1.0
-        Rj = jnp.asarray(R)
-        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj,
-                              bias.astype(jnp.float32), Rj)
-        local = local + bias_tok[None, None]
+        local = local + _bias_to_token_coords(bias, Rj)[None, None]
     local = local + mask_add[None, None, None]
     chunk = jnp.einsum("bsihd,bchd->bshic", q, rf,
                        preferred_element_type=jnp.float32) * scale
@@ -362,8 +386,8 @@ def _xla_windowed(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
 
 
 def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
-    """Dense ground-truth joint softmax on the packed layout (test oracle;
-    the VJP uses the windowed :func:`_xla_windowed` instead)."""
+    """Dense ground-truth joint softmax on the packed layout (test oracle
+    only; the registered VJP is the fused Pallas :func:`_bwd_fused`)."""
     B, N, three_hd = qkv.shape
     d = three_hd // (3 * nh)
     C = rf_p.shape[1]
@@ -377,14 +401,8 @@ def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
         # bias [H, S, S] in Swin-local coords; permute to token coords
-        ws2 = ws * ws
-        local_idx = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((N, ws2), np.float32)
-        R[np.arange(N), local_idx] = 1.0
-        Rj = jnp.asarray(R)
-        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
-                              Rj)
-        local = local + bias_tok[None]
+        Rj, _ = _strip_maps(W, ws, N)
+        local = local + _bias_to_token_coords(bias, Rj)[None]
     local = jnp.where(same[None, None], local, MASK_VAL)
     chunk = jnp.einsum("bnhd,bchd->bhnc", q, rf,
                        preferred_element_type=jnp.float32) * scale
@@ -408,19 +426,12 @@ def _make_differentiable(scale, nh, W, ws, has_bias, interpret):
 
     def bwd(res, g):
         qkv, rf_p, beta_p, bias = res
-        tgs = _pick_rows(qkv.shape[0], qkv.shape[1], W, ws)[1]
+        tgs = _pick_rows(qkv.shape[0], qkv.shape[1], W, ws,
+                         rf_p.shape[1])[1]
         # rebuild the resident additive table (cheap: tiny perm matmuls)
-        vis = _rowmajor_vis(W, ws, tgs)
-        mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
-        t = np.arange(tgs)
-        loc = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((tgs, ws * ws), np.float32)
-        R[np.arange(tgs), loc] = 1.0
-        Rj = jnp.asarray(R)
+        Rj, mask_add = _strip_maps(W, ws, tgs)
         if has_bias:
-            bias_tok = jnp.einsum("tl,hlm,um->htu", Rj,
-                                  bias.astype(jnp.float32), Rj)
-            big = bias_tok + mask_add
+            big = _bias_to_token_coords(bias, Rj) + mask_add
         else:
             big = jnp.broadcast_to(mask_add, (nh, tgs, tgs))
         dqkv, drf, dbeta, dbig = _bwd_fused(
@@ -457,25 +468,14 @@ def eva_attention_packed(
     nh = num_heads
     d = three_hd // (3 * nh)
     C = rf_k_bar.shape[1]
-    _, TGS = _pick_rows(B, N, W, ws)
+    _, TGS = _pick_rows(B, N, W, ws, C)
 
-    vis = _rowmajor_vis(W, ws, TGS)
-    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    Rj, mask_add = _strip_maps(W, ws, TGS)
     if bias is None:
         bias_big = jnp.broadcast_to(mask_add, (nh, TGS, TGS))
         bias_in = jnp.zeros((nh, ws * ws, ws * ws), jnp.float32)
     else:
-        # permute the Swin-local [S, S] bias into row-major token coords via
-        # two tiny permutation matmuls; cross-window entries are wrong but
-        # masked by mask_add
-        t = np.arange(TGS)
-        local = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((TGS, ws * ws), np.float32)
-        R[np.arange(TGS), local] = 1.0
-        Rj = jnp.asarray(R)
-        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
-                              Rj)
-        bias_big = bias_tok + mask_add
+        bias_big = _bias_to_token_coords(bias, Rj) + mask_add
         bias_in = bias
     f = _make_differentiable(float(scale), nh, W, ws, bias is not None,
                              interpret)

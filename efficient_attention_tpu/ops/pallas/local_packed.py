@@ -15,18 +15,15 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from efficient_attention_tpu.ops.pallas.eva_packed import (
-    MASK_VAL,
+    _bias_to_token_coords,
     _pick_rows,
-    _rowmajor_vis,
+    _strip_maps,
+    supports_packed,  # noqa: F401 — shared gate (c=0: no chunk columns)
 )
-
-def supports_packed(b: int, n: int, W: int, ws: int) -> bool:
-    return W % ws == 0 and ws > 0 and _pick_rows(b, n, W, ws) is not None
 
 
 def _kernel(qkv_ref, bias_ref, o_ref, *, scale: float, nh: int, d: int):
@@ -86,19 +83,11 @@ def _xla_rowmajor(qkv, scale, nh, W, ws, bias):
     ns = N // TGS
     qkv6 = qkv.reshape(B, ns, TGS, 3, nh, d)
     q, k, v = qkv6[:, :, :, 0], qkv6[:, :, :, 1], qkv6[:, :, :, 2]
-    vis = _rowmajor_vis(W, ws, TGS)
-    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    Rj, mask_add = _strip_maps(W, ws, TGS)
     logits = jnp.einsum("bsihd,bsjhd->bshij", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
-        t = np.arange(TGS)
-        loc = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((TGS, ws * ws), np.float32)
-        R[np.arange(TGS), loc] = 1.0
-        Rj = jnp.asarray(R)
-        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
-                              Rj)
-        logits = logits + bias_tok[None, None]
+        logits = logits + _bias_to_token_coords(bias, Rj)[None, None]
     logits = logits + mask_add[None, None, None]
     attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bshij,bsjhd->bsihd", attn, v)
@@ -142,20 +131,12 @@ def local_attention_packed(
     B, N, _ = qkv.shape
     nh = num_heads
     TGS = _pick_rows(B, N, W, ws)[1]
-    vis = _rowmajor_vis(W, ws, TGS)
-    mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
+    Rj, mask_add = _strip_maps(W, ws, TGS)
     if bias is None:
         bias_big = jnp.broadcast_to(mask_add, (nh, TGS, TGS))
         bias_in = jnp.zeros((nh, ws * ws, ws * ws), jnp.float32)
     else:
-        t = np.arange(TGS)
-        loc = ((t // W) % ws) * ws + (t % W) % ws
-        R = np.zeros((TGS, ws * ws), np.float32)
-        R[np.arange(TGS), loc] = 1.0
-        Rj = jnp.asarray(R)
-        bias_tok = jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32),
-                              Rj)
-        bias_big = bias_tok + mask_add
+        bias_big = _bias_to_token_coords(bias, Rj) + mask_add
         bias_in = bias
     f = _make_differentiable(float(scale), nh, W, ws, bias is not None,
                              interpret)

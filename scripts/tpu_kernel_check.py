@@ -25,12 +25,12 @@ o1 = np.asarray(f_xla(params, x[:4]))
 o2 = np.asarray(f_pal(params, x[:4]))
 err = np.abs(o1 - o2).max()
 print("max abs err xla vs pallas (f32):", err)
-assert err < 1e-3, err
+assert err < 3e-4, err  # 7.8e-5 measured after the chunk-mean precision fix
 f_pkd = jax.jit(lambda p, x: m_pkd.apply(p, x, deterministic=True))
 o3 = np.asarray(f_pkd(params, x[:4]))
 err = np.abs(o1 - o3).max()
 print("max abs err xla vs packed (f32):", err)
-assert err < 1e-3, err
+assert err < 3e-4, err  # 7.8e-5 measured after the chunk-mean precision fix
 
 def timed(f, p, x, iters=30):
     g = jax.jit(lambda p, x: f(p, x).sum())

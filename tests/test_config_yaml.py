@@ -177,3 +177,18 @@ class TestReviewRegressions:
         args = parse_args(["--config", str(cfg),
                            "--attn-name-decoder=softmax"])
         assert args.attn_name_decoder == "softmax"
+
+    def test_dash_spelled_name_key_also_drops_stale_group(self, tmp_path):
+        # flat keys may be dash-spelled; the sibling-class lookup must see
+        # them too (regression: the lookup used the normalized dest against
+        # raw YAML keys, so dash-spelled name keys skipped the drop guard)
+        from efficient_attention_tpu.cli.train_lm import parse_args
+
+        cfg = tmp_path / "lm.yaml"
+        cfg.write_text(
+            "attn-name-decoder: causal_eva\n"
+            "attn_args_decoder:\n"
+            "  window_size: 64\n")
+        args = parse_args(["--config", str(cfg),
+                           "--attn-name-decoder=softmax"])
+        assert args.attn_name_decoder == "softmax"

@@ -194,6 +194,20 @@ class TestPackedKernel:
         bias = jax.random.normal(keys[3], (nh, ws * ws, ws * ws)) * 0.1
         return qkv, rf, beta, bias
 
+    def test_vmem_budget_is_chunk_aware(self):
+        from efficient_attention_tpu.ops.pallas.eva_packed import _pick_rows
+
+        # small C: floored at 128, so picks match the round-2 tuning
+        assert _pick_rows(128, 784, 28, 7, c=49) == \
+            _pick_rows(128, 784, 28, 7)
+        # the DeiT bench geometry stays viable
+        assert _pick_rows(128, 784, 28, 7, c=49) is not None
+        # C >> 128 must shrink RB (or bail) instead of blowing scoped VMEM:
+        # [RB, TGS, TGS+C] fp32 logits with C=4096 at RB=8 would be ~27MB
+        big = _pick_rows(128, 784, 28, 7, c=4096)
+        small = _pick_rows(128, 784, 28, 7)
+        assert big is None or big[0] < small[0]
+
     @pytest.mark.parametrize("with_bias", [False, True])
     def test_matches_reference(self, rng, with_bias):
         from efficient_attention_tpu.ops.pallas.eva_packed import (
