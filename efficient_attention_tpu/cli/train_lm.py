@@ -53,6 +53,14 @@ def build_parser():
     p.add_argument("--save-interval-updates", type=int, default=1000)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=3072)
+    # BASE-layer MoE (reference transformer_lm.py:187-195)
+    p.add_argument("--base-layers", type=int, default=0,
+                   help="number of BASE MoE layers in the decoder")
+    p.add_argument("--base-experts", type=int, default=0,
+                   help="experts per BASE layer (0 = one per device, the "
+                        "reference's one-expert-per-worker default)")
+    p.add_argument("--base-sublayers", type=int, default=1)
+    p.add_argument("--base-shuffle", action="store_true")
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(p)
     return p
@@ -110,6 +118,11 @@ def build_model(args, vocab_size):
             if c < vocab_size)
         if not cutoffs:
             cutoffs = None
+    base_experts = getattr(args, "base_experts", 0)
+    if getattr(args, "base_layers", 0) and not base_experts:
+        import jax
+
+        base_experts = jax.device_count()
     return TransformerLM(
         vocab_size=vocab_size,
         embed_dim=args.decoder_embed_dim,
@@ -121,6 +134,10 @@ def build_model(args, vocab_size):
         dropout=args.dropout,
         max_len=args.max_len,
         adaptive_cutoffs=cutoffs,
+        base_layers=getattr(args, "base_layers", 0),
+        base_experts=base_experts,
+        base_sublayers=getattr(args, "base_sublayers", 1),
+        base_shuffle=getattr(args, "base_shuffle", False),
     )
 
 

@@ -379,6 +379,12 @@ class TransformerDecoder(nn.Module):
     pad_idx: int = 1
     has_cross: bool = True
     share_input_output_embed: bool = True
+    # BASE-layer MoE (``--base-layers``, reference transformer_lm.py:187-195,
+    # transformer_decoder.py:166-171)
+    base_layers: int = 0
+    base_experts: int = 0
+    base_sublayers: int = 1
+    base_shuffle: bool = False
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -399,6 +405,32 @@ class TransformerDecoder(nn.Module):
             self.final_ln = nn.LayerNorm()
         if not self.share_input_output_embed:
             self.output_projection = nn.Dense(self.vocab_size, use_bias=False)
+        if self.base_layers:
+            from efficient_attention_tpu.models.base_layer import (
+                BaseLayer,
+                base_layer_positions,
+            )
+
+            self._base_after = base_layer_positions(
+                self.num_layers, self.base_layers)
+            self.base_mods = [
+                BaseLayer(dim=self.embed_dim, ffn_dim=self.ffn_dim,
+                          num_experts=self.base_experts,
+                          sublayers=self.base_sublayers,
+                          shuffle=self.base_shuffle, name=f"base_{i}")
+                for i in range(self.base_layers)]
+        else:
+            self._base_after = []
+            self.base_mods = []
+
+    def _run_base(self, x, bi, after_n_layers, deterministic):
+        """Run any BASE layers scheduled after ``after_n_layers`` decoder
+        layers; returns (x, next base index)."""
+        while (bi < len(self._base_after)
+               and self._base_after[bi] == after_n_layers):
+            x = self.base_mods[bi](x, deterministic=deterministic)
+            bi += 1
+        return x, bi
 
     def _output_layer(self, x):
         if self.share_input_output_embed:
@@ -416,10 +448,13 @@ class TransformerDecoder(nn.Module):
         padding_mask = prev_output_tokens == self.pad_idx
         x = self._embed(prev_output_tokens)
         x = self.embed_dropout(x, deterministic=deterministic)
-        for layer in self.layers:
+        bi = 0
+        for j, layer in enumerate(self.layers):
+            x, bi = self._run_base(x, bi, j, deterministic)
             x = layer(x, enc_out=enc_out, enc_padding_mask=enc_padding_mask,
                       self_padding_mask=padding_mask,
                       deterministic=deterministic)
+        x, bi = self._run_base(x, bi, self.num_layers, deterministic)
         if self.normalize_before:
             x = self.final_ln(x)
         if features_only:
@@ -436,10 +471,13 @@ class TransformerDecoder(nn.Module):
         """One decode step. tokens: [B, 1]; pos: scalar step index."""
         x = self._embed(tokens, pos_offset=pos)
         new_states = []
-        for layer, st in zip(self.layers, states):
+        bi = 0
+        for j, (layer, st) in enumerate(zip(self.layers, states)):
+            x, bi = self._run_base(x, bi, j, True)
             x, st = layer.decode_step(st, x, enc_out=enc_out,
                                       enc_padding_mask=enc_padding_mask)
             new_states.append(st)
+        x, bi = self._run_base(x, bi, self.num_layers, True)
         if self.normalize_before:
             x = self.final_ln(x)
         return self._output_layer(x), new_states
@@ -512,6 +550,10 @@ class TransformerLM(nn.Module):
     max_len: int = 3072
     pad_idx: int = 1
     adaptive_cutoffs: Optional[Tuple[int, ...]] = None
+    base_layers: int = 0
+    base_experts: int = 0
+    base_sublayers: int = 1
+    base_shuffle: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -520,7 +562,10 @@ class TransformerLM(nn.Module):
             num_heads=self.num_heads, attn_name=self.attn_name,
             attn_args=dict(self.attn_args), dropout=self.dropout,
             max_len=self.max_len, pad_idx=self.pad_idx, has_cross=False,
-            normalize_before=True)
+            normalize_before=True, base_layers=self.base_layers,
+            base_experts=self.base_experts,
+            base_sublayers=self.base_sublayers,
+            base_shuffle=self.base_shuffle)
         if self.adaptive_cutoffs:
             from efficient_attention_tpu.models.adaptive_softmax import (
                 AdaptiveSoftmax,

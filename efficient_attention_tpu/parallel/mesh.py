@@ -84,7 +84,12 @@ def _rule_for(path: str, shape: Tuple[int, ...], use_fsdp: bool, use_tp: bool) -
     if ndim == 0:
         return P()
     spec: list = [None] * ndim
-    if use_tp and ndim >= 2:
+    if use_tp and ndim >= 2 and "experts" in path:
+        # BASE-layer expert stacks: shard the leading expert axis over
+        # 'model' (expert parallelism; XLA inserts the all-to-alls around
+        # the dense [E, k, D] routed block — see models/base_layer.py)
+        spec[0] = AXIS_MODEL
+    elif use_tp and ndim >= 2:
         if _COLUMN_PARALLEL.search(path):
             spec[-1] = AXIS_MODEL
         elif _ROW_PARALLEL.search(path):
