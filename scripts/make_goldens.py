@@ -21,24 +21,47 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
 
 def _stub_timm():
-    """The reference imports only trunc_normal_ from timm (which is not
-    installed here); parameters get overwritten anyway."""
+    """The reference imports trunc_normal_/to_2tuple/DropPath/register_model
+    from timm (not installed here); parameters get overwritten anyway and
+    DropPath is identity in eval mode."""
+    import torch
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
+    models.__path__ = []
     layers = types.ModuleType("timm.models.layers")
+    registry = types.ModuleType("timm.models.registry")
+    vt = types.ModuleType("timm.models.vision_transformer")
 
     def trunc_normal_(t, std=1.0, **kw):
-        import torch
-
         with torch.no_grad():
             t.normal_(0, std).clamp_(-2 * std, 2 * std)
         return t
 
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
     layers.trunc_normal_ = trunc_normal_
+    layers.to_2tuple = to_2tuple
+    layers.DropPath = DropPath
+    registry.register_model = lambda fn: fn
+    vt._cfg = lambda url="", **kw: dict(url=url, **kw)
     models.layers = layers
+    models.registry = registry
+    models.vision_transformer = vt
     timm.models = models
     sys.modules.update({"timm": timm, "timm.models": models,
-                        "timm.models.layers": layers})
+                        "timm.models.layers": layers,
+                        "timm.models.registry": registry,
+                        "timm.models.vision_transformer": vt})
 
 
 def _fill_params(module, seed=0):
@@ -197,8 +220,52 @@ def scatterbrain_golden():
     _dump(os.path.join(OUT_DIR, "scatterbrain.npz"), m, x2d, out)
 
 
+def full_model_golden():
+    """Whole DeiT-style model (reference ``EfficientTransformer`` with EVA
+    blocks) on a downsized config: recorded state_dict + input + logits.
+    ``tests/test_interop.py`` converts the state_dict with
+    ``efficient_attention_tpu.interop`` and must reproduce the logits —
+    proving reference checkpoints load into this framework."""
+    import argparse
+
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    sys.path.insert(0, "/root/reference/vit")
+    import torch
+
+    from models.efficient_vit import EfficientTransformer
+
+    args = argparse.Namespace(
+        num_classes=10, input_size=112, in_chans=3, patch_size=8,
+        embed_dim=48, depth=2, num_heads=4, mlp_ratio=4, qkv_bias=True,
+        qk_scale=None, norm_layer=None, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, no_pos_emb=False, patchify_stem="default",
+        pool_method="mean", use_glu=False, attn_name="eva",
+        attn_specific_args=argparse.Namespace(
+            window_size=7, num_landmarks=49, attn_2d=True, use_rpe=True,
+            adaptive_proj="default"),
+    )
+    net = EfficientTransformer(args)
+    net.eval()
+    _fill_params(net, seed=13)
+    rng = np.random.default_rng(13)
+    x = torch.from_numpy(
+        rng.normal(0, 1, (2, 3, 112, 112)).astype(np.float32))
+    with torch.no_grad():
+        out = net(x.clone())
+    # store channels-last input (this framework's layout)
+    arrays = {"x": x.permute(0, 2, 3, 1).numpy(), "out": out.numpy()}
+    for name, p in net.state_dict().items():
+        arrays["sd:" + name] = p.detach().numpy()
+    path = os.path.join(OUT_DIR, "evit_full_model.npz")
+    np.savez(path, **arrays)
+    print(f"wrote {path}: x{arrays['x'].shape} -> out{arrays['out'].shape}, "
+          f"{len(arrays) - 2} state-dict entries")
+
+
 if __name__ == "__main__":
     main()
     lara_golden()
     kernelized_golden()
     scatterbrain_golden()
+    full_model_golden()

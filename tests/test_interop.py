@@ -1,0 +1,108 @@
+"""Reference-checkpoint interop (``efficient_attention_tpu/interop.py``):
+a recorded PyTorch ``EfficientTransformer`` state_dict converted into flax
+params must reproduce the reference logits (fixture from
+``scripts/make_goldens.py::full_model_golden``)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_attention_tpu.interop import convert_vit_state_dict
+from efficient_attention_tpu.models.efficient_vit import EfficientTransformer
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "evit_full_model.npz")
+
+ATTN_ARGS = {"window_size": 7, "num_landmarks": 49, "attn_2d": True,
+             "use_rpe": True, "adaptive_proj": "default"}
+
+
+def _model():
+    return EfficientTransformer(
+        attn_name="eva", attn_args=dict(ATTN_ARGS), img_size=112,
+        patch_size=8, embed_dim=48, depth=2, num_heads=4, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    data = np.load(GOLDEN)
+    sd = {k[len("sd:"):]: data[k] for k in data.files if k.startswith("sd:")}
+    return data["x"], data["out"], sd
+
+
+class TestConvert:
+    def test_full_model_logits_match_reference(self, golden):
+        x, ref_out, sd = golden
+        m = _model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                          deterministic=True)
+        params = convert_vit_state_dict(sd, template)
+        out = m.apply(params, jnp.asarray(x), deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_shape_mismatch_raises(self, golden):
+        x, _, sd = golden
+        m = _model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                          deterministic=True)
+        bad = dict(sd)
+        bad["head.weight"] = bad["head.weight"][:, :10]
+        with pytest.raises(ValueError, match="shape mismatch"):
+            convert_vit_state_dict(bad, template)
+
+    def test_missing_key_raises(self, golden):
+        x, _, sd = golden
+        m = _model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                          deterministic=True)
+        bad = {k: v for k, v in sd.items() if k != "head.bias"}
+        with pytest.raises(KeyError, match="head.bias"):
+            convert_vit_state_dict(bad, template)
+
+    def test_extra_reference_param_raises(self, golden):
+        x, _, sd = golden
+        m = _model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                          deterministic=True)
+        bad = dict(sd)
+        bad["blocks.0.attn.spurious"] = np.zeros(3)
+        with pytest.raises(ValueError, match="unconverted"):
+            convert_vit_state_dict(bad, template)
+
+
+class TestConvertCli:
+    def test_cli_roundtrip(self, golden, tmp_path, monkeypatch):
+        # write the golden state_dict as a reference-style ckpt.pth and run
+        # the CLI end-to-end on the golden's (unregistered) tiny config by
+        # registering it for the test
+        torch = pytest.importorskip("torch")
+        from flax import serialization
+
+        from efficient_attention_tpu.cli.convert_checkpoint import main
+        from efficient_attention_tpu.models import registry
+
+        x, ref_out, sd = golden
+        ckpt = tmp_path / "ckpt.pth"
+        torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                              for k, v in sd.items()},
+                    "epoch": 3}, str(ckpt))
+
+        def _tiny(attn_name, attn_args, img_size=112, num_classes=10, **kw):
+            return _model()
+
+        monkeypatch.setitem(registry._MODEL_REGISTRY, "evit_golden_tiny",
+                            _tiny)
+        out = tmp_path / "params.msgpack"
+        main(["--torch-ckpt", str(ckpt), "--model", "evit_golden_tiny",
+              "--attn-name", "eva", "--input-size", "112",
+              "--num-classes", "10", "--out", str(out)])
+        m = _model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                          deterministic=True)
+        params = serialization.from_bytes(template, out.read_bytes())
+        logits = m.apply(params, jnp.asarray(x), deterministic=True)
+        np.testing.assert_allclose(np.asarray(logits), ref_out,
+                                   atol=3e-5, rtol=1e-4)
