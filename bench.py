@@ -217,6 +217,45 @@ def main():
                 "softmax_ms_per_step_t2048": round(sm_lm, 2),
                 "speedup": round(sm_lm / ceva, 3)}
 
+    # generation-time decode-step latency at a deep cache position: the
+    # reference's decode win is causal-EVA's bounded state (one window + per
+    # -chunk [c,d] summaries, O(w+c) per token) vs softmax's O(T) KV scan
+    def lm_decode_ms(attn, T=2048, Bb=8, pos=1024):
+        args = _ap.Namespace(
+            decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
+            decoder_layers=8, decoder_attention_heads=8,
+            attn_name_decoder=attn, dropout=0.0, max_len=T,
+            adaptive_cutoffs=None, criterion="cross_entropy",
+            attn_args_decoder=_ap.Namespace(
+                window_size=128, chunk_size=8, adaptive_proj="qk",
+                use_t5_rpe=True, causal=True, overlap_window=False))
+        model = build_model(args, vocab_size=32000)
+        toks = jnp.ones((Bb, 1), jnp.int32)
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.ones(
+                (Bb, 8), jnp.int32)))()
+
+        def dec_state(mdl, b, n):
+            return mdl.decoder.init_decode_state(b, n)
+
+        def dec_step(mdl, st, t, p):
+            return mdl.decoder.decode_step(st, t, p)
+
+        cache = jax.jit(lambda p: model.apply(
+            p, Bb, T, method=dec_state))(params)
+
+        def step(t, p, st):
+            logits, _ = model.apply(p, st, t, pos, method=dec_step)
+            return jnp.argmax(logits, axis=-1).astype(t.dtype)
+
+        return _slope_time_ms(step, toks, params, cache)
+
+    dec_eva = lm_decode_ms("causal_eva")
+    dec_sm = lm_decode_ms("softmax")
+    lm_decode = {"causal_eva_ms_per_token": round(dec_eva, 3),
+                 "softmax_ms_per_token": round(dec_sm, 3),
+                 "speedup": round(dec_sm / dec_eva, 3)}
+
     # PVTv2 multi-scale tracked config (stages at seq 3136/784/196/49)
     def pvt_ips(attn_name):
         attn_args = dict(EVA_ARGS, impl="auto") if attn_name == "eva" else {}
@@ -246,6 +285,7 @@ def main():
             "attn_module_seq196": kernel[196],
             "train_step": train,
             "lm_train_step": lm_train,
+            "lm_decode_step": lm_decode,
             "pvt_nano": pvt,
             "device": str(jax.devices()[0]),
         },

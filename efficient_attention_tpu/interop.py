@@ -21,6 +21,7 @@ forward).
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Mapping
 
 import jax
@@ -36,8 +37,10 @@ _ATTN_CLASSES = (
 # flax path component -> reference component
 _COMPONENT_MAP = {
     "GatedMlp_0": "mlp",
+    "MlpWithDepthwiseConv_0": "mlp",
     "Dense_0": "fc1",
     "Dense_1": "fc2",
+    "Conv_0": "dwconv.dwconv",  # PVT MLP depthwise conv (DWConv:285-296)
     "LayerNorm_0": "norm1",
     "LayerNorm_1": "norm2",
     "layers_0": "0",
@@ -47,23 +50,41 @@ _COMPONENT_MAP = {
 # reference buffers that the flax modules derive statically
 _IGNORED_TORCH_SUFFIXES = ("relative_position_index",)
 
+_PVT_BLOCK = re.compile(r"block(\d+)_(\d+)")
+
 
 def _flax_path_to_torch_key(parts) -> str:
-    """['blocks_0', 'EVA_0', 'qkv', 'kernel'] -> 'blocks.0.attn.qkv.weight'"""
-    out = []
-    for p in parts[:-1]:
+    """Translate a flax param path to the reference parameter name.
+
+    DeiT (``efficient_vit.py``): ['blocks_0', 'EVA_0', 'qkv', 'kernel'] ->
+    'blocks.0.attn.qkv.weight'.  PVTv2 (``pvt_legacy.py``): ['block1_0',
+    'EVA_0', 'qkv', 'kernel'] -> 'block1.0.attn.attn_fn.qkv.weight' (PVT
+    wraps the factory module in an `attn` shim holding `attn_fn`,
+    ``pvt_legacy.py:78-87``) and per-stage ``patch_embedN`` holds both a
+    conv (`.proj`) and a LayerNorm (`.norm`).
+    """
+    pvt = any(_PVT_BLOCK.fullmatch(p) for p in parts)
+    body, out = parts[:-1], []
+    i = 0
+    while i < len(body):
+        p = body[i]
+        m = _PVT_BLOCK.fullmatch(p)
         if p.startswith("blocks_"):
             out.append("blocks." + p[len("blocks_"):])
+        elif m:
+            out.append(f"block{m.group(1)}.{m.group(2)}")
         elif any(p == f"{c}_0" for c in _ATTN_CLASSES):
-            out.append("attn")
-        elif p == "patch_embed":
-            out.append("patch_embed.proj")
-        elif p == "Conv_0":
-            continue  # folded into patch_embed.proj
+            out.append("attn.attn_fn" if pvt else "attn")
+        elif p.startswith("patch_embed"):
+            child = body[i + 1] if i + 1 < len(body) else ""
+            out.append(p + (".norm" if child == "LayerNorm_0" else ".proj"))
+            i += 2
+            continue
         elif p in _COMPONENT_MAP:
             out.append(_COMPONENT_MAP[p])
         else:
             out.append(p)
+        i += 1
     leaf = parts[-1]
     if leaf in ("kernel", "scale"):
         out.append("weight")

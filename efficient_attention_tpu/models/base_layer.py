@@ -30,8 +30,6 @@ the whole layer an exact identity at initialisation
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -146,11 +144,3 @@ def base_layer_positions(num_layers: int, num_base: int) -> list:
         else:
             count += 1
     return out
-
-
-def moe_param_overrides(path: str, shape: Any):
-    """Extra sharding rule: expert-stacked params shard their leading
-    expert axis over the 'model' mesh axis (expert parallelism)."""
-    if "experts" in path and len(shape) >= 2:
-        return 0
-    return None

@@ -263,9 +263,50 @@ def full_model_golden():
           f"{len(arrays) - 2} state-dict entries")
 
 
+def pvt_full_model_golden():
+    """Whole PVTv2 model (reference ``pvt_legacy.py`` with EVA at every
+    stage) on a downsized config — same purpose as
+    :func:`full_model_golden` but for the second model family (4-stage
+    pyramid, overlap patch embeds, depthwise-conv MLP)."""
+    import argparse
+
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    sys.path.insert(0, "/root/reference/vit")
+    import torch
+
+    from models.pvt_legacy import pvt_nano
+
+    args = argparse.Namespace(
+        num_classes=10, input_size=64, in_chans=3, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0, attn_name="eva",
+        num_heads=None, use_glu=False, pool_method="mean",
+        use_conv_patchify=False, qkv_bias=True, qk_scale=None,
+        attn_specific_args=argparse.Namespace(
+            window_size=2, num_landmarks=4, attn_2d=True, use_rpe=True,
+            adaptive_proj="default"),
+    )
+    net = pvt_nano(args)
+    net.eval()
+    _fill_params(net, seed=17)
+    rng = np.random.default_rng(17)
+    x = torch.from_numpy(
+        rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32))
+    with torch.no_grad():
+        out = net(x.clone())
+    arrays = {"x": x.permute(0, 2, 3, 1).numpy(), "out": out.numpy()}
+    for name, p in net.state_dict().items():
+        arrays["sd:" + name] = p.detach().numpy()
+    path = os.path.join(OUT_DIR, "pvt_full_model.npz")
+    np.savez(path, **arrays)
+    print(f"wrote {path}: x{arrays['x'].shape} -> out{arrays['out'].shape}, "
+          f"{len(arrays) - 2} state-dict entries")
+
+
 if __name__ == "__main__":
     main()
     lara_golden()
     kernelized_golden()
     scatterbrain_golden()
     full_model_golden()
+    pvt_full_model_golden()

@@ -73,6 +73,28 @@ class TestConvert:
             convert_vit_state_dict(bad, template)
 
 
+class TestConvertPvt:
+    def test_pvt_full_model_logits_match_reference(self):
+        from efficient_attention_tpu.models import create_model
+
+        data = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                    "pvt_full_model.npz"))
+        sd = {k[len("sd:"):]: data[k] for k in data.files
+              if k.startswith("sd:")}
+        m = create_model(
+            "pvt_nano", attn_name="eva",
+            attn_args={"window_size": 2, "num_landmarks": 4,
+                       "attn_2d": True, "use_rpe": True,
+                       "adaptive_proj": "default"},
+            img_size=64, num_classes=10)
+        x = jnp.asarray(data["x"])
+        template = m.init(jax.random.PRNGKey(0), x[:1], deterministic=True)
+        params = convert_vit_state_dict(sd, template)
+        out = m.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), data["out"],
+                                   atol=5e-5, rtol=1e-4)
+
+
 class TestConvertCli:
     def test_cli_roundtrip(self, golden, tmp_path, monkeypatch):
         # write the golden state_dict as a reference-style ckpt.pth and run

@@ -224,6 +224,30 @@ class TestPackedKernel:
                                    bias=b, interpret=True)
         np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("Wimg,ws,c,nh,d", [
+        (8, 2, 4, 2, 8),     # many small windows, few chunks
+        (12, 4, 9, 3, 16),   # non-power-of-two grid
+        (16, 4, 16, 2, 8),   # larger strip count
+        (6, 3, 4, 4, 8),     # odd window side
+    ])
+    def test_matches_reference_across_geometries(self, rng, Wimg, ws, c,
+                                                 nh, d):
+        # geometry sweep: strip size TGS=W*ws, window count, and chunk
+        # count all vary; guards the static index math (visibility/bias
+        # permutation) beyond the single bench-like geometry above
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            _xla_reference,
+            eva_attention_packed,
+        )
+
+        qkv, rf, beta, bias = self._inputs(rng, Bp=2, Wimg=Wimg, ws=ws,
+                                           nh=nh, d=d, c=c)
+        scale = d ** -0.5
+        ref = _xla_reference(qkv, rf, beta, scale, nh, Wimg, ws, bias)
+        out = eva_attention_packed(qkv, rf, beta, scale, nh, Wimg, ws,
+                                   bias=bias, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
     def test_grads_match_reference(self, rng):
         from efficient_attention_tpu.ops.pallas.eva_packed import (
             _xla_reference,
