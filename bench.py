@@ -184,7 +184,9 @@ def main():
 
     from efficient_attention_tpu.cli.train_lm import build_model
 
-    def lm_train_ms(attn, T=2048, Bb=4):
+    def _lm_model(attn, T):
+        """The tracked wikitext decoder config — shared by the train-step
+        and decode-step rows so they always benchmark the same model."""
         args = _ap.Namespace(
             decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
             decoder_layers=8, decoder_attention_heads=8,
@@ -193,7 +195,10 @@ def main():
             attn_args_decoder=_ap.Namespace(
                 window_size=128, chunk_size=8, adaptive_proj="qk",
                 use_t5_rpe=True, causal=True, overlap_window=False))
-        model = build_model(args, vocab_size=32000)
+        return build_model(args, vocab_size=32000)
+
+    def lm_train_ms(attn, T=2048, Bb=4):
+        model = _lm_model(attn, T)
         toks = jnp.ones((Bb, T), jnp.int32)
         tgts = jnp.ones((Bb, T), jnp.int32)
         params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), toks))()
@@ -221,15 +226,7 @@ def main():
     # reference's decode win is causal-EVA's bounded state (one window + per
     # -chunk [c,d] summaries, O(w+c) per token) vs softmax's O(T) KV scan
     def lm_decode_ms(attn, T=2048, Bb=8, pos=1024):
-        args = _ap.Namespace(
-            decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
-            decoder_layers=8, decoder_attention_heads=8,
-            attn_name_decoder=attn, dropout=0.0, max_len=T,
-            adaptive_cutoffs=None, criterion="cross_entropy",
-            attn_args_decoder=_ap.Namespace(
-                window_size=128, chunk_size=8, adaptive_proj="qk",
-                use_t5_rpe=True, causal=True, overlap_window=False))
-        model = build_model(args, vocab_size=32000)
+        model = _lm_model(attn, T)
         toks = jnp.ones((Bb, 1), jnp.int32)
         params = jax.jit(
             lambda: model.init(jax.random.PRNGKey(0), jnp.ones(

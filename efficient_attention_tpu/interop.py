@@ -141,7 +141,10 @@ def load_reference_checkpoint(path: str, flax_params: Dict) -> Dict:
     """Load a reference ``ckpt.pth`` (or bare state_dict ``.pth``) file."""
     import torch
 
-    blob = torch.load(path, map_location="cpu")
+    # reference ckpt.pth files pickle non-tensor state too (optimizer,
+    # lr_scheduler, argparse args — ``vit/main.py:355-363``), which the
+    # torch>=2.6 weights_only default refuses to load
+    blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("model", blob) if isinstance(blob, dict) else blob
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return convert_vit_state_dict(sd, flax_params)

@@ -80,20 +80,24 @@ def _rowmajor_vis(W: int, ws: int, tgs: int) -> np.ndarray:
     return win[:, None] == win[None, :]
 
 
-def _strip_maps(W: int, ws: int, tgs: int) -> Tuple[jax.Array, jax.Array]:
+def _strip_maps(W: int, ws: int, tgs: int,
+                with_mask: bool = True) -> Tuple[jax.Array, Optional[jax.Array]]:
     """(Rj, mask_add) for a row-major strip of ``tgs`` tokens.
 
     ``Rj [tgs, ws*ws]`` is the one-hot token -> Swin-local-coordinate
     matrix used to permute a per-window ``[S, S]`` bias into token
     coordinates via two tiny matmuls (:func:`_bias_to_token_coords`);
-    ``mask_add [tgs, tgs]`` is the additive cross-window visibility mask.
-    Cross-window entries of the permuted bias are wrong but carry MASK_VAL,
-    so they never survive the softmax.
+    ``mask_add [tgs, tgs]`` is the additive cross-window visibility mask
+    (``None`` when ``with_mask=False`` — callers with their own mask skip
+    the O(tgs^2) construction).  Cross-window entries of the permuted bias
+    are wrong but carry MASK_VAL, so they never survive the softmax.
     """
     t = np.arange(tgs)
     loc = ((t // W) % ws) * ws + (t % W) % ws
     R = np.zeros((tgs, ws * ws), np.float32)
     R[np.arange(tgs), loc] = 1.0
+    if not with_mask:
+        return jnp.asarray(R), None
     vis = _rowmajor_vis(W, ws, tgs)
     mask_add = jnp.asarray(np.where(vis, 0.0, MASK_VAL), jnp.float32)
     return jnp.asarray(R), mask_add
@@ -401,7 +405,7 @@ def _xla_reference(qkv, rf_p, beta_p, scale, nh, W, ws, bias):
                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
         # bias [H, S, S] in Swin-local coords; permute to token coords
-        Rj, _ = _strip_maps(W, ws, N)
+        Rj, _ = _strip_maps(W, ws, N, with_mask=False)
         local = local + _bias_to_token_coords(bias, Rj)[None]
     local = jnp.where(same[None, None], local, MASK_VAL)
     chunk = jnp.einsum("bnhd,bchd->bhnc", q, rf,

@@ -106,11 +106,18 @@ class TestConvertCli:
         from efficient_attention_tpu.cli.convert_checkpoint import main
         from efficient_attention_tpu.models import registry
 
+        import argparse
+
         x, ref_out, sd = golden
         ckpt = tmp_path / "ckpt.pth"
+        # real reference checkpoints pickle non-tensor state (argparse args,
+        # optimizer dicts — vit/main.py:355-363); include one so the load
+        # path proves it handles torch>=2.6's weights_only default
         torch.save({"model": {k: torch.from_numpy(np.asarray(v))
                               for k, v in sd.items()},
-                    "epoch": 3}, str(ckpt))
+                    "epoch": 3,
+                    "args": argparse.Namespace(model="evit", lr=5e-4)},
+                   str(ckpt))
 
         def _tiny(attn_name, attn_args, img_size=112, num_classes=10, **kw):
             return _model()
