@@ -61,6 +61,9 @@ def build_parser():
                         "reference's one-expert-per-worker default)")
     p.add_argument("--base-sublayers", type=int, default=1)
     p.add_argument("--base-shuffle", action="store_true")
+    p.add_argument("--tensorboard-logdir", default="",
+                   help="TensorBoard event dir (main.sh:152 parity)")
+    p.add_argument("--wandb-project", default=None)
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(p)
     return p
@@ -229,6 +232,18 @@ def main(args) -> dict:
             pos += batch_size
         print(f"| resumed from checkpoint step {last}")
 
+    tb = None
+    if getattr(args, "tensorboard_logdir", ""):
+        from efficient_attention_tpu.training.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard_logdir)
+    wb = None
+    if getattr(args, "wandb_project", None):
+        from efficient_attention_tpu.training.wandb_sink import WandBLogger
+
+        wb = WandBLogger(args.wandb_project, run_name="train_lm",
+                         config=vars(args), log_dir=args.save_dir)
+
     t0 = time.time()
     stats = {}
     while int(state.step) < args.max_update:
@@ -247,6 +262,12 @@ def main(args) -> dict:
             wps = step * batch_size * args.tokens_per_sample / (
                 time.time() - t0)
             print(f"| step {step} {logger} | wps {wps:.0f}")
+            scalars = {"loss": loss, "ppl": math.exp(min(loss, 20)),
+                       "gnorm": float(metrics.grad_norm), "wps": wps}
+            if tb is not None:
+                tb.add_scalars(scalars, step=step)
+            if wb is not None:
+                wb.log(scalars, step=step)
         ckpt.save(step, state)
         stats = {"step": step, "loss": loss,
                  "ppl": math.exp(min(loss, 20))}

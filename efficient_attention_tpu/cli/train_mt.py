@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--keep-last-epochs", type=int, default=10)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--tensorboard-logdir", default="",
+                   help="TensorBoard event dir (main.sh:152 parity)")
+    p.add_argument("--wandb-project", default=None)
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(p)
     return p
@@ -203,6 +206,17 @@ def main(args) -> dict:
         state = ckpt.restore(state, step=skip)
         state = jax.device_put(state, repl)
         print(f"| resumed from checkpoint step {skip}")
+    tb = None
+    if getattr(args, "tensorboard_logdir", ""):
+        from efficient_attention_tpu.training.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard_logdir)
+    wb = None
+    if getattr(args, "wandb_project", None):
+        from efficient_attention_tpu.training.wandb_sink import WandBLogger
+
+        wb = WandBLogger(args.wandb_project, run_name="train_mt",
+                         config=vars(args), log_dir=args.save_dir)
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
         order = order[np.argsort(sizes[order], kind="stable")]
@@ -233,6 +247,12 @@ def main(args) -> dict:
             if step % args.log_interval == 0:
                 print(f"| step {step} {logger} "
                       f"| {time.time() - t0:.0f}s")
+                scalars = {"loss": loss,
+                           "gnorm": float(metrics.grad_norm)}
+                if tb is not None:
+                    tb.add_scalars(scalars, step=step)
+                if wb is not None:
+                    wb.log(scalars, step=step)
             ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
     ckpt.wait()
