@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output-dir", default="./checkpoints/vit")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--init-params", default="", type=str,
+                        help="warm-start params from a converted reference "
+                             "checkpoint (convert_checkpoint msgpack)")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--throughput", action="store_true")
     parser.add_argument("--num-workers", default=8, type=int)
@@ -217,6 +220,14 @@ def main(args) -> dict:
     rng = jax.random.PRNGKey(args.seed)
     dummy = jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32)
     params = jax.jit(lambda: model.init(rng, dummy, deterministic=True))()
+    if getattr(args, "init_params", ""):
+        # warm-start from converted reference params
+        # (cli/convert_checkpoint.py msgpack output) for eval/fine-tuning
+        from flax import serialization
+
+        with open(args.init_params, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"| initialized params from {args.init_params}")
     tx = make_optimizer(args.opt, schedule, weight_decay=args.weight_decay,
                         clip_grad=args.clip_grad, params_for_mask=params)
     state = TrainState.create(

@@ -135,3 +135,17 @@ class TestConvertCli:
         logits = m.apply(params, jnp.asarray(x), deterministic=True)
         np.testing.assert_allclose(np.asarray(logits), ref_out,
                                    atol=3e-5, rtol=1e-4)
+
+        # the converted params feed straight into the train/eval CLI
+        # (--init-params warm start); eval completes on synthetic data
+        from efficient_attention_tpu.cli.train_vit import main as vit_main
+        from efficient_attention_tpu.cli.train_vit import parse_args
+
+        args = parse_args([
+            "--model", "evit_golden_tiny", "--attn-name", "eva",
+            "--data-set", "SYNTHETIC", "--input-size", "112",
+            "--num-classes", "10", "--batch-size", "4", "--eval",
+            "--init-params", str(out), "--num-workers", "1",
+            "--output-dir", str(tmp_path)])
+        stats = vit_main(args)
+        assert np.isfinite(stats["loss"])
