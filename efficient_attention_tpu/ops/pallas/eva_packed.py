@@ -108,41 +108,49 @@ def _bias_to_token_coords(bias: jax.Array, Rj: jax.Array) -> jax.Array:
     return jnp.einsum("tl,hlm,um->htu", Rj, bias.astype(jnp.float32), Rj)
 
 
+def _lane_pad(nh: int, d: int, proj: int) -> int:
+    """Front-pad (in lanes) for the `[B, C, H*D]` summary operand so head
+    ``h``'s slice lands at the same lane offset (mod 128) as the matching
+    qkv section ``proj`` (1=k, 2=v): ``pad + h*d ≡ proj*nh*d + h*d``."""
+    return (proj * nh * d) % 128
+
+
 def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
             *, scale: float, nh: int, d: int, tgs: int, c: int):
     """One grid step: RB batch rows x TGS tokens, all heads in lanes.
 
     Head extraction slices the *refs* (strided VMEM loads land at lane
-    offset 0); local and chunk branches stay un-concatenated — they share
-    one max/normalizer instead, which is the same joint softmax without any
-    tpu.concatenate (Mosaic cannot concat operands with mismatched lane
-    offsets).
+    offset 0).  Local and chunk branches MERGE their key/value operands by
+    a sublane concat (``keys [TGS+C, D]``), so each head runs one
+    ``[TGS, D] x [D, TGS+C]`` dot — the separate C=49 chunk dot padded its
+    lane dim 49 -> 128 (62% waste) where TGS+C pads 245 -> 256 (4%), and
+    the value dot's contraction dim goes 196/49 -> 245 (~96% of two
+    128-passes).  Measured 0.98 -> 0.76 ms at the bench geometry.  The
+    concat is Mosaic-legal only at matching lane offsets, hence the
+    :func:`_lane_pad` front-padding of the summaries (concatenating the
+    LOGITS instead is not expressible — their offsets can't be aligned).
     """
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
     for h in range(nh):
         qh = qkv_ref[:, 0, :, h * d:(h + 1) * d]         # [RB, TGS, D]
         kh = qkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d]
         vh = qkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
-        rfh = rf_ref[:, :, h * d:(h + 1) * d]            # [RB, C, D]
-        bth = beta_ref[:, :, h * d:(h + 1) * d]
-        local = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
+        rfh = rf_ref[:, :, pk + h * d:pk + (h + 1) * d]  # [RB, C, D]
+        bth = beta_ref[:, :, pv + h * d:pv + (h + 1) * d]
+        keys = jnp.concatenate([kh, rfh.astype(kh.dtype)], axis=1)
+        vals = jnp.concatenate([vh, bth.astype(vh.dtype)], axis=1)
+        logits = jax.lax.dot_general(
+            qh, keys, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[h][None]                    # [RB, TGS, TGS]
-        chunk = jax.lax.dot_general(
-            qh, rfh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                        # [RB, TGS, C]
-        m = jnp.maximum(jnp.max(local, axis=-1, keepdims=True),
-                        jnp.max(chunk, axis=-1, keepdims=True))
-        p_l = jnp.exp(local - m)
-        p_c = jnp.exp(chunk - m)
-        denom = (jnp.sum(p_l, axis=-1, keepdims=True)
-                 + jnp.sum(p_c, axis=-1, keepdims=True))
+        ) * scale                                        # [RB, TGS, TGS+C]
+        # bias/mask covers the local columns; chunk columns are always
+        # visible (additive 0)
+        logits = logits + jnp.pad(bias_ref[h], ((0, 0), (0, c)))[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
-            p_l.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out = out + jax.lax.dot_general(
-            p_c.astype(bth.dtype), bth, (((2,), (1,)), ((0,), (0,))),
+            p.astype(vals.dtype), vals, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         o_ref[:, 0, :, h * d:(h + 1) * d] = \
             (out / denom).astype(o_ref.dtype)
@@ -161,17 +169,24 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
     qkv_spec = pl.BlockSpec((RB, 1, TGS, three_hd),
                             lambda b, j: (b, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    cd_spec = pl.BlockSpec((RB, C, nh * d), lambda b, j: (b, 0, 0),
-                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((RB, 1, TGS, nh * d), lambda b, j: (b, j, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, scale=scale, nh=nh, d=d, tgs=TGS, c=C)
+    # front-pad the summaries so each head's slice lane-aligns with its
+    # k/v section (see _lane_pad/_kernel)
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
+    rf_in = jnp.pad(rf_p, ((0, 0), (0, 0), (pk, 0))) if pk else rf_p
+    bt_in = jnp.pad(beta_p, ((0, 0), (0, 0), (pv, 0))) if pv else beta_p
+    rf_spec = pl.BlockSpec((RB, C, pk + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bt_spec = pl.BlockSpec((RB, C, pv + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[qkv_spec, cd_spec, cd_spec, bias_spec],
+        in_specs=[qkv_spec, rf_spec, bt_spec, bias_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, ns, TGS, nh * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -182,7 +197,7 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
             transcendentals=B * nh * N * (TGS + C),
         ),
         interpret=interpret,
-    )(qkv4, rf_p, beta_p, bias_big)
+    )(qkv4, rf_in, bt_in, bias_big)
     return out.reshape(B, N, nh * d)
 
 
@@ -205,52 +220,49 @@ def _bwd_kernel(qkv_ref, rf_ref, beta_ref, bias_ref, g_ref,
     def _init_bias():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
     for h in range(nh):
         qh = qkv_ref[:, 0, :, h * d:(h + 1) * d]          # [RB, TGS, D]
         kh = qkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d]
         vh = qkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
-        rfh = rf_ref[:, :, h * d:(h + 1) * d]             # [RB, C, D]
-        bth = beta_ref[:, :, h * d:(h + 1) * d]
+        rfh = rf_ref[:, :, pk + h * d:pk + (h + 1) * d]   # [RB, C, D]
+        bth = beta_ref[:, :, pv + h * d:pv + (h + 1) * d]
         gh = g_ref[:, 0, :, h * d:(h + 1) * d]            # [RB, TGS, D]
 
-        local = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[h][None]
-        chunk = jax.lax.dot_general(
-            qh, rfh, (((2,), (2,)), ((0,), (0,))),
+        # merged-operand recompute (same trick as the forward _kernel):
+        # one [TGS, D] x [D, TGS+C] logits dot, one joint softmax, one
+        # joint dP dot, one joint dq dot; only the transposed reductions
+        # (dk/dv vs drf/dbeta) need the lane-sliced halves
+        keys = jnp.concatenate([kh, rfh.astype(kh.dtype)], axis=1)
+        vals = jnp.concatenate([vh, bth.astype(vh.dtype)], axis=1)
+        logits = jax.lax.dot_general(
+            qh, keys, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        m = jnp.maximum(jnp.max(local, axis=-1, keepdims=True),
-                        jnp.max(chunk, axis=-1, keepdims=True))
-        p_l = jnp.exp(local - m)
-        p_c = jnp.exp(chunk - m)
-        denom = (jnp.sum(p_l, axis=-1, keepdims=True)
-                 + jnp.sum(p_c, axis=-1, keepdims=True))
-        P_l = p_l / denom                                 # [RB, TGS, TGS]
-        P_c = p_c / denom                                 # [RB, TGS, C]
+        logits = logits + jnp.pad(bias_ref[h], ((0, 0), (0, c)))[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        P = p / denom                                     # [RB, TGS, TGS+C]
 
-        dP_l = jax.lax.dot_general(                       # g @ v^T
-            gh, vh, (((2,), (2,)), ((0,), (0,))),
+        dP = jax.lax.dot_general(                         # g @ vals^T
+            gh, vals, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dP_c = jax.lax.dot_general(
-            gh, bth, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        ds = (jnp.sum(P_l * dP_l, axis=-1, keepdims=True)
-              + jnp.sum(P_c * dP_c, axis=-1, keepdims=True))
-        dS_l = (P_l * (dP_l - ds)).astype(qh.dtype)
-        dS_c = (P_c * (dP_c - ds)).astype(qh.dtype)
+        ds = jnp.sum(P * dP, axis=-1, keepdims=True)
+        dSf = P * (dP - ds)                               # f32
+        dS = dSf.astype(qh.dtype)
 
-        dq = scale * (
-            jax.lax.dot_general(dS_l, kh, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(dS_c, rfh, (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32))
+        dq = scale * jax.lax.dot_general(
+            dS, keys, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dS_l, dS_c = dS[:, :, :tgs], dS[:, :, tgs:]
         dk = scale * jax.lax.dot_general(                 # dS_l^T @ q
             dS_l, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
+        P_l = P[:, :, :tgs].astype(gh.dtype)
+        P_c = P[:, :, tgs:].astype(gh.dtype)
         dv = jax.lax.dot_general(                         # P_l^T @ g
-            P_l.astype(gh.dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            P_l, gh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
         dqkv_ref[:, 0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
@@ -263,12 +275,11 @@ def _bwd_kernel(qkv_ref, rf_ref, beta_ref, bias_ref, g_ref,
             dS_c, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [RB, C, D]
         dbt_part = jax.lax.dot_general(                   # P_c^T @ g
-            P_c.astype(gh.dtype), gh, (((1,), (1,)), ((0,), (0,))),
+            P_c, gh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         drf_ref[:, :, h * d:(h + 1) * d] += drf_part
         dbeta_ref[:, :, h * d:(h + 1) * d] += dbt_part
-        dbias_ref[h, :, :] += jnp.sum(
-            (P_l * (dP_l - ds)), axis=0)                  # [TGS, TGS]
+        dbias_ref[h, :, :] += jnp.sum(dSf[:, :, :tgs], axis=0)
 
 
 @functools.partial(
@@ -298,12 +309,21 @@ def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
                            memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+    # lane-align the summary inputs for the merged-operand recompute (the
+    # drf/dbeta OUTPUTS stay unpadded)
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
+    rf_in = jnp.pad(rf_p, ((0, 0), (0, 0), (pk, 0))) if pk else rf_p
+    bt_in = jnp.pad(beta_p, ((0, 0), (0, 0), (pv, 0))) if pv else beta_p
+    rf_spec = pl.BlockSpec((RB, C, pk + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bt_spec = pl.BlockSpec((RB, C, pv + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     kern = functools.partial(_bwd_kernel, scale=scale, nh=nh, d=d, tgs=TGS,
                              c=C)
     dqkv, drf, dbeta, dbias = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[qkv_spec, cd_spec, cd_spec, bias_spec, g_spec],
+        in_specs=[qkv_spec, rf_spec, bt_spec, bias_spec, g_spec],
         out_specs=[qkv_spec, cd_spec, cd_spec, bias_spec],
         out_shape=[
             jax.ShapeDtypeStruct(qkv4.shape, qkv.dtype),
@@ -314,7 +334,7 @@ def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qkv4, rf_p, beta_p, bias_big, g4)
+    )(qkv4, rf_in, bt_in, bias_big, g4)
     return (dqkv.reshape(B, N, three_hd), drf.astype(rf_p.dtype),
             dbeta.astype(beta_p.dtype), dbias)
 
