@@ -97,6 +97,10 @@ class CausalEVAttention(nn.Module):
     chunk_size: Optional[int] = None
     adaptive_proj: str = "qk"
     use_t5_rpe: bool = False
+    # 'auto': fused Pallas parallel path on TPU when the geometry allows
+    # (ops/pallas/causal_packed.py); 'packed': force it (interpret mode off
+    # TPU — used by tests); 'xla': never
+    impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -167,6 +171,54 @@ class CausalEVAttention(nn.Module):
                         jnp.asarray(buckets.reshape(-1)), axis=0)
         return bias.reshape(i, j) * self.scaling
 
+    # ------------------------------------------------------- packed kernel --
+    def _packed_ok(self, B, N, tgt_len, had_mask, deterministic,
+                   rf_chunk_size) -> bool:
+        from efficient_attention_tpu.attention.base import on_tpu
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            supports_causal_packed,
+        )
+
+        if self.impl == "xla":
+            return False
+        if self.impl == "auto" and not on_tpu():
+            return False
+        return (self.causal and self.ext_size == 0 and self.window_size > 0
+                and self.window_size % rf_chunk_size == 0
+                and N == tgt_len and not had_mask
+                and (deterministic or self.dropout == 0.0)
+                and self.head_dim % 64 == 0
+                and supports_causal_packed(B, N, self.window_size,
+                                           rf_chunk_size))
+
+    def _forward_packed(self, qp, kp, vp, rf_k_bar, beta, rf_chunk_size,
+                        tgt_len):
+        """Fused Pallas parallel path (``ops/pallas/causal_packed.py``):
+        consumes the packed ``[B, N, H*D]`` projections and the head-major
+        chunk summaries; the XLA path's ``[b, h, g, i, c]`` control-variate
+        logits and joint softmax never materialize in HBM."""
+        import numpy as _np
+
+        from efficient_attention_tpu.attention.base import on_tpu
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            causal_eva_packed,
+        )
+
+        B = qp.shape[0]
+        hd = self.num_heads * self.head_dim
+        w = self.window_size
+        tri = _np.triu(_np.ones((w, w), _np.float32), 1)
+        tab = jnp.asarray(_np.where(tri, MASK_VAL, 0.0).astype(_np.float32))
+        bias = self._t5_bias(w, w)
+        if bias is not None:
+            tab = tab + bias.astype(jnp.float32)
+        rf_pk = jnp.swapaxes(rf_k_bar, 1, 2).reshape(B, -1, hd)
+        beta_pk = jnp.swapaxes(beta, 1, 2).reshape(B, -1, hd)
+        out = causal_eva_packed(
+            qp, kp, vp, rf_pk, beta_pk, self.scaling, self.num_heads,
+            w, rf_chunk_size, bias_tab=tab, interpret=not on_tpu())
+        return self.out_proj(out)[:, :tgt_len]
+
     # ------------------------------------------------------------- parallel --
     def __call__(
         self,
@@ -179,6 +231,7 @@ class CausalEVAttention(nn.Module):
         """Full-sequence (parallel) path (``causal_eva.py:666-788``)."""
         B, tgt_len, C = query.shape
         assert C == self.embed_dim
+        had_mask = key_padding_mask is not None
         if key is None:
             key = query
         if value is None:
@@ -201,9 +254,10 @@ class CausalEVAttention(nn.Module):
             return jnp.swapaxes(
                 t.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
 
-        q = split(self.q_proj(query))
-        k = split(self.k_proj(key))
-        v = split(self.v_proj(value))
+        qp = self.q_proj(query)   # packed [B, N, H*D] (kernel layout)
+        kp = self.k_proj(key)
+        vp = self.v_proj(value)
+        q, k, v = split(qp), split(kp), split(vp)
 
         if key_padding_mask is None:
             key_padding_mask = jnp.zeros((B, N), dtype=bool)
@@ -240,6 +294,17 @@ class CausalEVAttention(nn.Module):
         beta = jnp.einsum(
             "...cj,...cjd->...cd",
             jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v)
+
+        if self._packed_ok(B, N, tgt_len, had_mask, deterministic,
+                           rf_chunk_size):
+            return self._forward_packed(
+                qp, kp, vp, rf_k_bar, beta, rf_chunk_size, tgt_len)
+        if self.impl == "packed":
+            raise ValueError(
+                "impl='packed' requires causal mode, no overlap halo, "
+                "window a multiple of chunk_size dividing the sequence, no "
+                "padding mask, head_dim a multiple of 64, and zero "
+                "attention dropout when training")
 
         # [b, h, g, i, c]
         approx_cv = jnp.einsum("...wid,...cd->...wic", w_q, self.scaling * rf_k_bar)
@@ -455,4 +520,7 @@ class CausalEVAttention(nn.Module):
                             prefix=prefix, default=4, type=int)
         add_nested_argument(parser, f"--{p}overlap-window", action="store_true",
                             struct_name=struct_name, prefix=prefix, default=False)
+        add_nested_argument(parser, f"--{p}impl", struct_name=struct_name,
+                            prefix=prefix, default="auto", type=str,
+                            choices=["auto", "xla", "packed"])
         return parent_parser

@@ -225,7 +225,8 @@ class DecoderLayer(nn.Module):
                 dropout=self.dropout, causal=True,
                 **{k: v for k, v in self.attn_args.items()
                    if k in ("window_size", "overlap_window", "num_chunks",
-                            "chunk_size", "adaptive_proj", "use_t5_rpe")})
+                            "chunk_size", "adaptive_proj", "use_t5_rpe",
+                            "impl")})
         elif self.attn_name == "softmax":
             self.self_attn = CausalSelfAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,

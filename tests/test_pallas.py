@@ -433,3 +433,113 @@ class TestLocalPacked:
         g = jax.grad(loss, argnums=(0, 1))(qkv, bias)
         assert all(jnp.isfinite(x).all() for x in g)
         assert all(float(jnp.abs(x).sum()) > 0 for x in g)
+
+
+class TestCausalPacked:
+    """Fused causal-EVA parallel kernel (``ops/pallas/causal_packed.py``)
+    vs its XLA reference and the module's XLA path, in interpreter mode."""
+
+    def _inputs(self, rng, Bp=2, T=64, nh=2, d=64, c_sz=4):
+        hd = nh * d
+        C = T // c_sz
+        keys = jax.random.split(rng, 6)
+        q, k, v = (jax.random.normal(keys[i], (Bp, T, hd)) for i in range(3))
+        rf = jax.random.normal(keys[3], (Bp, C, hd))
+        bt = jax.random.normal(keys[4], (Bp, C, hd))
+        w = 16
+        tri = np.triu(np.ones((w, w), np.float32), 1)
+        bias = (jnp.asarray(np.where(tri, -5e4, 0.0))
+                + 0.1 * jax.random.normal(keys[5], (w, w)))
+        return q, k, v, rf, bt, bias, w, c_sz
+
+    def test_matches_reference(self, rng):
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            _xla_reference,
+            causal_eva_packed,
+        )
+
+        q, k, v, rf, bt, bias, w, cs = self._inputs(rng)
+        nh, d = 2, 64
+        scale = d ** -0.5
+        ref = _xla_reference(q, k, v, rf, bt, bias, scale, nh, w, cs)
+        out = causal_eva_packed(q, k, v, rf, bt, scale, nh, w, cs,
+                                bias_tab=bias, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+    def test_grads_match_reference(self, rng):
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            _xla_reference,
+            causal_eva_packed,
+        )
+
+        q, k, v, rf, bt, bias, w, cs = self._inputs(rng)
+        nh, d = 2, 64
+        scale = d ** -0.5
+
+        def loss_k(*args):
+            return jnp.sum(causal_eva_packed(
+                *args[:5], scale, nh, w, cs, bias_tab=args[5],
+                interpret=True) ** 2)
+
+        def loss_r(*args):
+            return jnp.sum(_xla_reference(*args, scale, nh, w, cs) ** 2)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(6)))(q, k, v, rf, bt, bias)
+        gr = jax.grad(loss_r, argnums=tuple(range(6)))(q, k, v, rf, bt, bias)
+        for a, b, name in zip(gk, gr, "q k v rf beta bias".split()):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+                err_msg=name)
+
+    @pytest.mark.parametrize("t5", [False, True])
+    def test_module_packed_matches_xla(self, rng, t5):
+        from efficient_attention_tpu.attention.causal_eva import (
+            CausalEVAttention,
+        )
+
+        kw = dict(embed_dim=128, num_heads=2, window_size=16, chunk_size=4,
+                  causal=True, use_t5_rpe=t5, adaptive_proj="qk")
+        x = jax.random.normal(rng, (2, 64, 128))
+        m_x = CausalEVAttention(impl="xla", **kw)
+        m_p = CausalEVAttention(impl="packed", **kw)
+        params = m_x.init({"params": rng}, x, deterministic=True)
+        out_x = m_x.apply(params, x, deterministic=True)
+        out_p = m_p.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_module_packed_grads_match_xla(self, rng):
+        from efficient_attention_tpu.attention.causal_eva import (
+            CausalEVAttention,
+        )
+
+        kw = dict(embed_dim=128, num_heads=2, window_size=16, chunk_size=4,
+                  causal=True, use_t5_rpe=True, adaptive_proj="qk")
+        x = jax.random.normal(rng, (2, 64, 128))
+        m_x = CausalEVAttention(impl="xla", **kw)
+        m_p = CausalEVAttention(impl="packed", **kw)
+        params = m_x.init({"params": rng}, x, deterministic=True)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, deterministic=True) ** 2)
+
+        gx = jax.grad(lambda p: loss(m_x, p))(params)
+        gp = jax.grad(lambda p: loss(m_p, p))(params)
+        flat_x = jax.tree_util.tree_leaves_with_path(gx)
+        flat_p = jax.tree_util.tree_leaves_with_path(gp)
+        for (path, a), (_, b) in zip(flat_x, flat_p):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_strict_packed_raises_on_bad_geometry(self, rng):
+        from efficient_attention_tpu.attention.causal_eva import (
+            CausalEVAttention,
+        )
+
+        # window does not divide the sequence -> padding -> ineligible
+        m = CausalEVAttention(embed_dim=128, num_heads=2, window_size=24,
+                              chunk_size=4, causal=True, impl="packed")
+        x = jax.random.normal(rng, (2, 64, 128))
+        with pytest.raises(ValueError, match="impl='packed'"):
+            m.init({"params": rng}, x, deterministic=True)
