@@ -11,8 +11,11 @@ Two paths:
     ``decode_step``, usable directly under ``lax.scan`` / beam search.
 
 Design deviations from the reference (both are fidelity *fixes*, kept because
-they make full-vs-incremental agreement exact — the property the reference's
-own self-test (``causal_eva.py:916-950``) probes):
+they make full-vs-incremental agreement exact in f32 — the property the
+reference's own self-test (``causal_eva.py:916-950``) probes.  In bf16 the
+two paths agree to rounding only (they always did — different op orders);
+the fused parallel kernel (``impl='auto'`` on TPU) round-trips its logits
+through the compute dtype so its quantization matches the XLA path's):
   1. The reference decode keeps a *sliding* window while its parallel path is
      *blocked* local attention ("might switch to block-wise", reference
      ``causal_eva.py:629``).  We decode block-wise, so both paths match
@@ -189,7 +192,8 @@ class CausalEVAttention(nn.Module):
                 and (deterministic or self.dropout == 0.0)
                 and self.head_dim % 64 == 0
                 and supports_causal_packed(B, N, self.window_size,
-                                           rf_chunk_size))
+                                           rf_chunk_size,
+                                           hd=self.embed_dim))
 
     def _forward_packed(self, qp, kp, vp, rf_k_bar, beta, rf_chunk_size,
                         tgt_len):

@@ -43,34 +43,70 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VAL = -5e4
 
 
-def _pick_rows(b: int, t: int, w: int, c: int) -> Optional[int]:
-    """Batch rows per grid step under the fp32 logits VMEM budget."""
+def _fwd_bytes(rb: int, w: int, c: int, hd: int) -> int:
+    """Per-step VMEM estimate: fp32 logits/probs + the bf16 summary blocks
+    (C = T/chunk_size GROWS with sequence length, unlike eva_packed's fixed
+    num_landmarks — they must be budgeted) + q/k/v/out token blocks."""
+    cols = w + max(c, 128)
+    return (rb * w * cols * 4          # fp32 logits (P reuses the buffer)
+            + 2 * rb * c * hd * 2      # rf_k_bar + beta blocks (bf16)
+            + 4 * rb * w * hd * 2)     # q/k/v/out blocks
+
+
+def _pick_rows(b: int, t: int, w: int, c: int, hd: int) -> Optional[int]:
+    """Batch rows per grid step under the scoped-VMEM budget (~16MB cap;
+    12MB here leaves headroom for Mosaic temporaries)."""
     if w <= 0 or t % w != 0:
         return None
     for rb in (8, 4, 2, 1):
-        if b % rb == 0 and rb * w * (w + max(c, 128)) * 4 <= 3_200_000:
+        if b % rb == 0 and _fwd_bytes(rb, w, c, hd) <= 12_000_000:
             return rb
     return None
 
 
-def supports_causal_packed(b: int, t: int, w: int, cs: int) -> bool:
-    """Geometry gate: windows tile the sequence and chunks tile windows."""
+def supports_causal_packed(b: int, t: int, w: int, cs: int,
+                           hd: int = 512) -> bool:
+    """Geometry gate: windows tile the sequence, chunks tile windows, and
+    the summary/logits blocks fit VMEM at some RB."""
     return (w > 0 and cs > 0 and w % cs == 0 and t % w == 0
-            and _pick_rows(b, t, w, (t // cs)) is not None)
+            and _pick_rows(b, t, w, (t // cs), hd) is not None)
 
 
-def _kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
-            *, scale: float, nh: int, d: int, w: int, cs: int, c: int):
-    g = pl.program_id(1)
-    # chunk-causality additive mask over the joint width [w, w + c]:
-    # column j >= w is chunk (j - w), visible iff it is strictly before
-    # this query's chunk index g*(w//cs) + i//cs
+def _joint_add(bias_ref, g, w: int, cs: int, c: int):
+    """Additive table over the joint width [w, w + c]: the resident local
+    bias+causal-mask table right-padded with zeros for the chunk columns,
+    then the chunk-causality mask (query at global position p sees chunk
+    j - w iff it is strictly before p // cs, i.e. before chunk index
+    g*(w//cs) + i//cs) applied via two iota compares."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (w, w + c), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (w, w + c), 1)
     chunk_blocked = (jj >= w) & (
         (jj - w) >= g * (w // cs) + ii // cs)
-    add = jnp.pad(bias_ref[...], ((0, 0), (0, c)))  # local bias+causal mask
-    add = jnp.where(chunk_blocked, MASK_VAL, add)   # [w, w + c]
+    add = jnp.pad(bias_ref[...], ((0, 0), (0, c)))
+    return jnp.where(chunk_blocked, MASK_VAL, add)
+
+
+def _joint_P(qh, keys, add, scale):
+    """Merged-operand joint softmax probabilities [RB, w, w+c] (f32).
+
+    The logits round-trip through the compute dtype before the softmax so
+    the packed path quantizes identically to the XLA parallel path (which
+    casts its logits to q.dtype, ``causal_eva.py``) — keeps bf16
+    full-vs-incremental agreement at the same rounding the XLA path has.
+    """
+    logits = jax.lax.dot_general(
+        qh, keys, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    logits = (logits.astype(qh.dtype).astype(jnp.float32) + add[None])
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
+            *, scale: float, nh: int, d: int, w: int, cs: int, c: int):
+    add = _joint_add(bias_ref, pl.program_id(1), w, cs, c)
     for h in range(nh):
         qh = q_ref[:, 0, :, h * d:(h + 1) * d]          # [RB, w, D]
         kh = k_ref[:, 0, :, h * d:(h + 1) * d]
@@ -79,16 +115,9 @@ def _kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, o_ref,
         bth = beta_ref[:, :, h * d:(h + 1) * d]
         keys = jnp.concatenate([kh, rfh.astype(kh.dtype)], axis=1)
         vals = jnp.concatenate([vh, bth.astype(vh.dtype)], axis=1)
-        logits = jax.lax.dot_general(
-            qh, keys, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + add[None]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        P = _joint_P(qh, keys, add, scale)
         out = jax.lax.dot_general(
-            (p / denom).astype(vals.dtype), vals,
-            (((2,), (1,)), ((0,), (0,))),
+            P.astype(vals.dtype), vals, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         o_ref[:, 0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
 
@@ -110,7 +139,11 @@ def _fwd(q, k, v, rf_p, beta_p, bias_tab, scale, nh, w, cs,
     B, T, hd = q.shape
     d = hd // nh
     C = rf_p.shape[1]
-    RB = _pick_rows(B, T, w, C)
+    RB = _pick_rows(B, T, w, C, hd)
+    if RB is None:
+        raise ValueError(
+            f"causal_eva_packed: unsupported geometry (T={T}, window={w}, "
+            f"C={C}, hd={hd}) — check supports_causal_packed first")
     ns = T // w
     q4 = q.reshape(B, ns, w, hd)
     k4 = k.reshape(B, ns, w, hd)
@@ -128,7 +161,9 @@ def _fwd(q, k, v, rf_p, beta_p, bias_tab, scale, nh, w, cs,
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nh * T * (w + C) * d,
-            bytes_accessed=(q.size + k.size + v.size) * 2,
+            bytes_accessed=(q.nbytes + k.nbytes + v.nbytes + q.nbytes
+                            + (rf_p.nbytes + beta_p.nbytes) * (B // RB)
+                            + bias_tab.nbytes),
             transcendentals=B * nh * T * (w + C),
         ),
         interpret=interpret,
@@ -154,12 +189,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, g_ref,
     def _init_bias():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (w, w + c), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (w, w + c), 1)
-    chunk_blocked = (jj >= w) & (
-        (jj - w) >= g * (w // cs) + ii // cs)
-    add = jnp.pad(bias_ref[...], ((0, 0), (0, c)))
-    add = jnp.where(chunk_blocked, MASK_VAL, add)
+    add = _joint_add(bias_ref, g, w, cs, c)
     for h in range(nh):
         qh = q_ref[:, 0, :, h * d:(h + 1) * d]
         kh = k_ref[:, 0, :, h * d:(h + 1) * d]
@@ -170,14 +200,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rf_ref, beta_ref, bias_ref, g_ref,
 
         keys = jnp.concatenate([kh, rfh.astype(kh.dtype)], axis=1)
         vals = jnp.concatenate([vh, bth.astype(vh.dtype)], axis=1)
-        logits = jax.lax.dot_general(
-            qh, keys, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + add[None]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        P = p / denom
+        P = _joint_P(qh, keys, add, scale)
 
         dP = jax.lax.dot_general(
             gh, vals, (((2,), (2,)), ((0,), (0,))),
@@ -221,8 +244,16 @@ def _bwd_fused(q, k, v, rf_p, beta_p, bias_tab, g, scale, nh, w, cs,
     B, T, hd = q.shape
     d = hd // nh
     C = rf_p.shape[1]
-    RB = _pick_rows(B, T, w, C)
-    while RB > 1 and RB * w * (w + max(C, 128)) * 4 > 1_100_000:
+    RB = _pick_rows(B, T, w, C, hd)
+    if RB is None:
+        raise ValueError(
+            f"causal_eva_packed backward: unsupported geometry (T={T}, "
+            f"window={w}, C={C}, hd={hd})")
+    # the backward keeps ~3x more fp32 [RB, w, w+C] values live (P, dP,
+    # dS) plus the incoming gradient block
+    while RB > 1 and (3 * RB * w * (w + max(C, 128)) * 4
+                      + 2 * RB * C * hd * 2
+                      + 5 * RB * w * hd * 2) > 9_000_000:
         RB //= 2
     ns = T // w
     q4, k4, v4 = (t.reshape(B, ns, w, hd) for t in (q, k, v))

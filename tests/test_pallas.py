@@ -532,6 +532,29 @@ class TestCausalPacked:
                 np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
                 err_msg=jax.tree_util.keystr(path))
 
+    def test_vmem_budget_scales_with_chunk_count(self):
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            _pick_rows,
+        )
+
+        # wikitext bench geometry stays viable at RB=8
+        assert _pick_rows(8, 2048, 128, 256, 512) == 8
+        # T=8192 -> C=1024: the [RB, C, hd] summary blocks force RB down
+        # (or out) instead of blowing scoped VMEM
+        long_rb = _pick_rows(8, 8192, 128, 1024, 512)
+        assert long_rb is None or long_rb < 8
+
+    def test_direct_call_bad_geometry_raises_clearly(self, rng):
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            causal_eva_packed,
+        )
+
+        q = jnp.ones((2, 64, 128))
+        rf = jnp.ones((2, 8, 128))
+        with pytest.raises(ValueError, match="unsupported geometry"):
+            causal_eva_packed(q, q, q, rf, rf, 0.125, 2, window=48,
+                              chunk=8, interpret=True)
+
     def test_strict_packed_raises_on_bad_geometry(self, rng):
         from efficient_attention_tpu.attention.causal_eva import (
             CausalEVAttention,
