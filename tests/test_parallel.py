@@ -102,6 +102,54 @@ class TestSequenceParallelEVA:
         out = fn(w_q, w_k, w_v, rf, beta, bias)
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    def test_causal_matches_global_computation(self):
+        """Causal variant (the LM family's context parallelism): sharded
+        windows + gathered summaries + GLOBAL-position chunk causality
+        reproduce the unsharded causal joint softmax exactly."""
+        from efficient_attention_tpu.attention.base import MASK_VAL
+        from efficient_attention_tpu.parallel.seq_parallel import (
+            causal_eva_attention_shard,
+        )
+
+        devices = jax.devices()[:4]
+        mesh = Mesh(np.array(devices), ("seq",))
+        B, H, G, W_, D, CS = 2, 2, 8, 16, 32, 4
+        C = G * W_ // CS
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 6)
+        w_q = jax.random.normal(ks[0], (B, H, G, W_, D))
+        w_k = jax.random.normal(ks[1], (B, H, G, W_, D))
+        w_v = jax.random.normal(ks[2], (B, H, G, W_, D))
+        rf = jax.random.normal(ks[3], (B, H, C, D))
+        beta = jax.random.normal(ks[4], (B, H, C, D))
+        bias = jax.random.normal(ks[5], (W_, W_)) * 0.1
+        scale = D**-0.5
+
+        # global reference (causal_eva.py:666-788 semantics)
+        local = jnp.einsum("bhgid,bhgjd->bhgij", w_q, w_k) * scale
+        local = local + bias[None, None, None]
+        tri = jnp.triu(jnp.ones((W_, W_), bool), 1)
+        local = jnp.where(tri[None, None, None], MASK_VAL, local)
+        chunk = jnp.einsum("bhgid,bhcd->bhgic", w_q, scale * rf)
+        pos = (jnp.arange(G)[:, None] * W_ + jnp.arange(W_)[None, :])
+        blocked = (jnp.arange(C)[None, None, :]
+                   >= (pos // CS)[..., None])
+        chunk = jnp.where(blocked[None, None], MASK_VAL, chunk)
+        attn = jax.nn.softmax(jnp.concatenate([local, chunk], -1), -1)
+        ref = (jnp.einsum("bhgij,bhgjd->bhgid", attn[..., :W_], w_v)
+               + jnp.einsum("bhgic,bhcd->bhgid", attn[..., W_:], beta))
+
+        fn = shard_map(
+            lambda q, k, v, r, b2, bb: causal_eva_attention_shard(
+                q, k, v, r, b2, scale, "seq", CS, bias=bb),
+            mesh=mesh,
+            in_specs=(P(None, None, "seq"), P(None, None, "seq"),
+                      P(None, None, "seq"), P(None, None, "seq"),
+                      P(None, None, "seq"), P()),
+            out_specs=P(None, None, "seq"))
+        out = fn(w_q, w_k, w_v, rf, beta, bias)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
 
 class TestConsistency:
     def test_grad_norm_check(self):
