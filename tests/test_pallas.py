@@ -532,6 +532,35 @@ class TestCausalPacked:
                 np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
                 err_msg=jax.tree_util.keystr(path))
 
+    @pytest.mark.parametrize("T,w,cs,nh,d", [
+        (96, 16, 4, 2, 64),   # windows not power-of-two count
+        (64, 32, 8, 1, 64),   # single head, two windows
+        (128, 16, 2, 3, 64),  # many tiny chunks
+        (64, 64, 16, 2, 64),  # one window covering the sequence
+    ])
+    def test_matches_reference_across_geometries(self, rng, T, w, cs, nh, d):
+        # sweep window/chunk/sequence combos: guards the in-kernel
+        # chunk-causality iota math and the strip reshapes beyond the
+        # single geometry above
+        from efficient_attention_tpu.ops.pallas.causal_packed import (
+            _xla_reference,
+            causal_eva_packed,
+        )
+
+        hd = nh * d
+        C = T // cs
+        keys = jax.random.split(rng, 5)
+        q, k, v = (jax.random.normal(keys[i], (2, T, hd)) for i in range(3))
+        rf = jax.random.normal(keys[3], (2, C, hd))
+        bt = jax.random.normal(keys[4], (2, C, hd))
+        tri = np.triu(np.ones((w, w), np.float32), 1)
+        bias = jnp.asarray(np.where(tri, -5e4, 0.0))
+        scale = d ** -0.5
+        ref = _xla_reference(q, k, v, rf, bt, bias, scale, nh, w, cs)
+        out = causal_eva_packed(q, k, v, rf, bt, scale, nh, w, cs,
+                                bias_tab=bias, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
     def test_vmem_budget_scales_with_chunk_count(self):
         from efficient_attention_tpu.ops.pallas.causal_packed import (
             _pick_rows,
