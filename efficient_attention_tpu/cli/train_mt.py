@@ -52,6 +52,7 @@ def build_parser():
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
+    p.add_argument("--azureml-logging", action="store_true")
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(p)
     return p
@@ -217,6 +218,11 @@ def main(args) -> dict:
 
         wb = WandBLogger(args.wandb_project, run_name="train_mt",
                          config=vars(args), log_dir=args.save_dir)
+    aml = None
+    if getattr(args, "azureml_logging", False):
+        from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
+
+        aml = AzureMLLogger(True, log_dir=args.save_dir)
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
         order = order[np.argsort(sizes[order], kind="stable")]
@@ -253,6 +259,8 @@ def main(args) -> dict:
                     tb.add_scalars(scalars, step=step)
                 if wb is not None:
                     wb.log(scalars, step=step)
+                if aml is not None:
+                    aml.log(scalars, step=step)
             ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
     ckpt.wait()

@@ -84,6 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--tensorboard-logdir", default=None, type=str)
     parser.add_argument("--wandb-project", default=None, type=str)
+    parser.add_argument("--azureml-logging", action="store_true")
     from efficient_attention_tpu.parallel import add_distributed_args
     add_distributed_args(parser)
     return parser
@@ -308,6 +309,10 @@ def main(args) -> dict:
                      run_name=f"{args.model}-{args.attn_name}",
                      config=vars(args) if is_primary() else None,
                      log_dir=args.output_dir) if is_primary() else None
+    from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
+
+    aml = AzureMLLogger(getattr(args, "azureml_logging", False),
+                        log_dir=args.output_dir) if is_primary() else None
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
     for epoch in range(start_epoch, args.epochs):
@@ -347,6 +352,8 @@ def main(args) -> dict:
             tb.add_scalars(scalars, step=int(state.step))
         if wb is not None:
             wb.log(scalars, step=int(state.step))
+        if aml is not None:
+            aml.log(scalars, step=int(state.step))
         ckpt.save(int(state.step), state,
                   metrics={"acc1": val_stats.get("acc1", 0.0)})
         history = record

@@ -254,3 +254,42 @@ class TestTensorBoardWriter:
         assert b"brain.Event" in records[0]
         assert b"train/loss" in records[1]
         assert b"val/acc1" in records[2]
+
+
+class TestOfflineSinks:
+    def test_wandb_offline_fallback(self, tmp_path):
+        import json
+
+        from efficient_attention_tpu.training.wandb_sink import WandBLogger
+
+        wb = WandBLogger("proj", run_name="r", config={"lr": 1e-3},
+                         log_dir=str(tmp_path))
+        wb.log({"loss": 1.5}, step=3)
+        wb.finish()
+        lines = [json.loads(ln) for ln in
+                 (tmp_path / "wandb_offline" / "run.jsonl").read_text()
+                 .splitlines()]
+        assert lines[0]["_type"] == "run_start"
+        assert lines[1] == {"step": 3, "loss": 1.5}
+
+    def test_azureml_offline_fallback(self, tmp_path):
+        import json
+
+        from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
+
+        aml = AzureMLLogger(True, log_dir=str(tmp_path))
+        aml.log({"loss": 2.0, "gnorm": 0.5}, step=7)
+        aml.finish()
+        lines = [json.loads(ln) for ln in
+                 (tmp_path / "azureml_offline" / "metrics.jsonl").read_text()
+                 .splitlines()]
+        assert lines[0]["_type"] == "run_start"
+        assert lines[1] == {"step": 7, "loss": 2.0, "gnorm": 0.5}
+
+    def test_disabled_sinks_are_noops(self, tmp_path):
+        from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
+        from efficient_attention_tpu.training.wandb_sink import WandBLogger
+
+        WandBLogger(None, log_dir=str(tmp_path)).log({"x": 1.0}, step=0)
+        AzureMLLogger(False, log_dir=str(tmp_path)).log({"x": 1.0}, step=0)
+        assert list(tmp_path.iterdir()) == []
