@@ -61,8 +61,12 @@ def _pick_rows(b: int, n: int, W: int, ws: int,
         return None
     cols = tgs + max(c, 128)
     for rb in (8, 4, 2, 1):
-        # fp32 logits [RB, TGS, TGS] + [RB, TGS, C] dominate VMEM
-        # (RB=16 was tried in round 2: 20.4M scoped vmem, over the 16M cap)
+        # fp32 joint logits [RB, TGS, TGS+C] dominate VMEM.  RB=16 was
+        # re-raced with the merged-operand layout: STANDALONE it compiles
+        # and wins (0.755 vs 0.849 ms), but fused inside the DeiT block it
+        # exceeds scoped VMEM (19.0M > 16M) — the surrounding projections
+        # cost allocation headroom the standalone race doesn't see.  Trust
+        # in-model behavior; RB=8 stands.
         if b % rb == 0 and rb * tgs * cols * 4 <= 3_200_000:
             return rb, tgs
     return None
