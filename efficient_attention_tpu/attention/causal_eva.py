@@ -176,7 +176,7 @@ class CausalEVAttention(nn.Module):
 
     # ------------------------------------------------------- packed kernel --
     def _packed_ok(self, B, N, tgt_len, had_mask, deterministic,
-                   rf_chunk_size) -> bool:
+                   rf_chunk_size, itemsize) -> bool:
         from efficient_attention_tpu.attention.base import on_tpu
         from efficient_attention_tpu.ops.pallas.causal_packed import (
             supports_causal_packed,
@@ -193,7 +193,8 @@ class CausalEVAttention(nn.Module):
                 and self.head_dim % 64 == 0
                 and supports_causal_packed(B, N, self.window_size,
                                            rf_chunk_size,
-                                           hd=self.embed_dim))
+                                           hd=self.embed_dim,
+                                           itemsize=itemsize))
 
     def _forward_packed(self, qp, kp, vp, rf_k_bar, beta, rf_chunk_size,
                         tgt_len):
@@ -300,7 +301,7 @@ class CausalEVAttention(nn.Module):
             jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v)
 
         if self._packed_ok(B, N, tgt_len, had_mask, deterministic,
-                           rf_chunk_size):
+                           rf_chunk_size, qp.dtype.itemsize):
             return self._forward_packed(
                 qp, kp, vp, rf_k_bar, beta, rf_chunk_size, tgt_len)
         if self.impl == "packed":

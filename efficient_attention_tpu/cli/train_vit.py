@@ -309,10 +309,11 @@ def main(args) -> dict:
                      run_name=f"{args.model}-{args.attn_name}",
                      config=vars(args) if is_primary() else None,
                      log_dir=args.output_dir) if is_primary() else None
-    from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
+    aml = None
+    if getattr(args, "azureml_logging", False) and is_primary():
+        from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
 
-    aml = AzureMLLogger(getattr(args, "azureml_logging", False),
-                        log_dir=args.output_dir) if is_primary() else None
+        aml = AzureMLLogger(True, log_dir=args.output_dir)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
     for epoch in range(start_epoch, args.epochs):

@@ -43,33 +43,37 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VAL = -5e4
 
 
-def _fwd_bytes(rb: int, w: int, c: int, hd: int) -> int:
-    """Per-step VMEM estimate: fp32 logits/probs + the bf16 summary blocks
+def _fwd_bytes(rb: int, w: int, c: int, hd: int, itemsize: int) -> int:
+    """Per-step VMEM estimate: fp32 logits/probs + the summary blocks
     (C = T/chunk_size GROWS with sequence length, unlike eva_packed's fixed
-    num_landmarks — they must be budgeted) + q/k/v/out token blocks."""
+    num_landmarks — they must be budgeted) + q/k/v/out token blocks, all at
+    the input dtype's ``itemsize``."""
     cols = w + max(c, 128)
-    return (rb * w * cols * 4          # fp32 logits (P reuses the buffer)
-            + 2 * rb * c * hd * 2      # rf_k_bar + beta blocks (bf16)
-            + 4 * rb * w * hd * 2)     # q/k/v/out blocks
+    return (rb * w * cols * 4             # fp32 logits (P reuses the buffer)
+            + 2 * rb * c * hd * itemsize  # rf_k_bar + beta blocks
+            + 4 * rb * w * hd * itemsize)  # q/k/v/out blocks
 
 
-def _pick_rows(b: int, t: int, w: int, c: int, hd: int) -> Optional[int]:
+def _pick_rows(b: int, t: int, w: int, c: int, hd: int,
+               itemsize: int = 2) -> Optional[int]:
     """Batch rows per grid step under the scoped-VMEM budget (~16MB cap;
     12MB here leaves headroom for Mosaic temporaries)."""
     if w <= 0 or t % w != 0:
         return None
     for rb in (8, 4, 2, 1):
-        if b % rb == 0 and _fwd_bytes(rb, w, c, hd) <= 12_000_000:
+        if b % rb == 0 and _fwd_bytes(rb, w, c, hd, itemsize) <= 12_000_000:
             return rb
     return None
 
 
-def supports_causal_packed(b: int, t: int, w: int, cs: int,
-                           hd: int = 512) -> bool:
+def supports_causal_packed(b: int, t: int, w: int, cs: int, hd: int,
+                           itemsize: int = 2) -> bool:
     """Geometry gate: windows tile the sequence, chunks tile windows, and
-    the summary/logits blocks fit VMEM at some RB."""
+    the summary/logits blocks fit VMEM at some RB.  ``hd`` is the packed
+    hidden size (num_heads * head_dim) and ``itemsize`` the input dtype's
+    byte width — both change the verdict, so callers must pass them."""
     return (w > 0 and cs > 0 and w % cs == 0 and t % w == 0
-            and _pick_rows(b, t, w, (t // cs), hd) is not None)
+            and _pick_rows(b, t, w, (t // cs), hd, itemsize) is not None)
 
 
 def _joint_add(bias_ref, g, w: int, cs: int, c: int):
@@ -139,7 +143,7 @@ def _fwd(q, k, v, rf_p, beta_p, bias_tab, scale, nh, w, cs,
     B, T, hd = q.shape
     d = hd // nh
     C = rf_p.shape[1]
-    RB = _pick_rows(B, T, w, C, hd)
+    RB = _pick_rows(B, T, w, C, hd, q.dtype.itemsize)
     if RB is None:
         raise ValueError(
             f"causal_eva_packed: unsupported geometry (T={T}, window={w}, "
@@ -161,8 +165,10 @@ def _fwd(q, k, v, rf_p, beta_p, bias_tab, scale, nh, w, cs,
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nh * T * (w + C) * d,
+            # each b-group fetches its [RB, C, hd] summary slice once and
+            # keeps it resident across the window steps
             bytes_accessed=(q.nbytes + k.nbytes + v.nbytes + q.nbytes
-                            + (rf_p.nbytes + beta_p.nbytes) * (B // RB)
+                            + rf_p.nbytes + beta_p.nbytes
                             + bias_tab.nbytes),
             transcendentals=B * nh * T * (w + C),
         ),
@@ -244,16 +250,18 @@ def _bwd_fused(q, k, v, rf_p, beta_p, bias_tab, g, scale, nh, w, cs,
     B, T, hd = q.shape
     d = hd // nh
     C = rf_p.shape[1]
-    RB = _pick_rows(B, T, w, C, hd)
+    isz = q.dtype.itemsize
+    RB = _pick_rows(B, T, w, C, hd, isz)
     if RB is None:
         raise ValueError(
             f"causal_eva_packed backward: unsupported geometry (T={T}, "
             f"window={w}, C={C}, hd={hd})")
     # the backward keeps ~3x more fp32 [RB, w, w+C] values live (P, dP,
-    # dS) plus the incoming gradient block
+    # dS) plus the incoming gradient block and the f32 drf/dbeta
+    # accumulator outputs
     while RB > 1 and (3 * RB * w * (w + max(C, 128)) * 4
-                      + 2 * RB * C * hd * 2
-                      + 5 * RB * w * hd * 2) > 9_000_000:
+                      + 2 * RB * C * hd * (isz + 4)
+                      + 5 * RB * w * hd * isz) > 9_000_000:
         RB //= 2
     ns = T // w
     q4, k4, v4 = (t.reshape(B, ns, w, hd) for t in (q, k, v))

@@ -2,17 +2,14 @@
 
 The reference's ``AzureMLProgressBarWrapper`` logs scalars through
 ``azureml.core.Run.get_context().log_row``.  Here: use the real azureml SDK
-when installed; otherwise degrade to an offline JSON-lines directory
+when installed; otherwise degrade to the shared offline JSON-lines writer
 (``<dir>/azureml_offline/metrics.jsonl``) with the same ``log(dict, step)``
 surface, so recipes passing ``--azureml-logging`` keep working in hermetic
 environments (this image does not ship azureml).
 """
 from __future__ import annotations
 
-import json
-import os
-import time
-from typing import Optional
+from efficient_attention_tpu.training.offline_jsonl import OfflineJsonlWriter
 
 
 class AzureMLLogger:
@@ -26,21 +23,15 @@ class AzureMLLogger:
 
             self._run = Run.get_context()
         except ImportError:
-            path = os.path.join(log_dir, "azureml_offline")
-            os.makedirs(path, exist_ok=True)
-            self._file = open(os.path.join(path, "metrics.jsonl"), "a",
-                              buffering=1, encoding="utf-8")
-            self._file.write(json.dumps(
-                {"_type": "run_start", "time": time.time()}) + "\n")
+            self._file = OfflineJsonlWriter(log_dir, "azureml_offline",
+                                            "metrics.jsonl")
 
     def log(self, metrics: dict, step: int) -> None:
         if self._run is not None:
             for k, v in metrics.items():
                 self._run.log_row(k, step=int(step), value=float(v))
         elif self._file is not None:
-            self._file.write(json.dumps(
-                {"step": int(step), **{k: float(v) for k, v in
-                                       metrics.items()}}) + "\n")
+            self._file.log(metrics, step)
 
     def finish(self) -> None:
         if self._run is not None and hasattr(self._run, "flush"):
