@@ -303,6 +303,43 @@ def pvt_full_model_golden():
           f"{len(arrays) - 2} state-dict entries")
 
 
+def softmax_full_model_golden():
+    """Whole DeiT-style model with exact-softmax attention — the reference's
+    baseline checkpoints; same purpose as :func:`full_model_golden`."""
+    import argparse
+
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/efficient-attention")
+    sys.path.insert(0, "/root/reference/vit")
+    import torch
+
+    from models.efficient_vit import EfficientTransformer
+
+    args = argparse.Namespace(
+        num_classes=10, input_size=112, in_chans=3, patch_size=8,
+        embed_dim=48, depth=2, num_heads=4, mlp_ratio=4, qkv_bias=True,
+        qk_scale=None, norm_layer=None, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, no_pos_emb=False, patchify_stem="default",
+        pool_method="mean", use_glu=False, attn_name="softmax",
+        attn_specific_args=argparse.Namespace(),
+    )
+    net = EfficientTransformer(args)
+    net.eval()
+    _fill_params(net, seed=23)
+    rng = np.random.default_rng(23)
+    x = torch.from_numpy(
+        rng.normal(0, 1, (2, 3, 112, 112)).astype(np.float32))
+    with torch.no_grad():
+        out = net(x.clone())
+    arrays = {"x": x.permute(0, 2, 3, 1).numpy(), "out": out.numpy()}
+    for name, p in net.state_dict().items():
+        arrays["sd:" + name] = p.detach().numpy()
+    path = os.path.join(OUT_DIR, "softmax_full_model.npz")
+    np.savez(path, **arrays)
+    print(f"wrote {path}: x{arrays['x'].shape} -> out{arrays['out'].shape}, "
+          f"{len(arrays) - 2} state-dict entries")
+
+
 if __name__ == "__main__":
     main()
     lara_golden()
@@ -310,3 +347,4 @@ if __name__ == "__main__":
     scatterbrain_golden()
     full_model_golden()
     pvt_full_model_golden()
+    softmax_full_model_golden()

@@ -95,6 +95,24 @@ class TestConvertPvt:
                                    atol=5e-5, rtol=1e-4)
 
 
+class TestConvertSoftmax:
+    def test_softmax_full_model_logits_match_reference(self):
+        # the reference's exact-softmax baseline checkpoints convert too
+        data = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                    "softmax_full_model.npz"))
+        sd = {k[len("sd:"):]: data[k] for k in data.files
+              if k.startswith("sd:")}
+        m = EfficientTransformer(
+            attn_name="softmax", attn_args={}, img_size=112, patch_size=8,
+            embed_dim=48, depth=2, num_heads=4, num_classes=10)
+        x = jnp.asarray(data["x"])
+        template = m.init(jax.random.PRNGKey(0), x[:1], deterministic=True)
+        params = convert_vit_state_dict(sd, template)
+        out = m.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), data["out"],
+                                   atol=3e-5, rtol=1e-4)
+
+
 class TestConvertCli:
     def test_cli_roundtrip(self, golden, tmp_path, monkeypatch):
         # write the golden state_dict as a reference-style ckpt.pth and run
