@@ -39,6 +39,14 @@ def parse_args(argv=None):
                              "input lines carry tab-separated constraint "
                              "phrases after the sentence "
                              "(fairseq --constraints)")
+    parser.add_argument("--results-path", default=None,
+                        help="write fairseq-style S-/T-/H- generation output "
+                             "(gen.out) here, consumable by "
+                             "scripts/compound_split_bleu.sh "
+                             "(fairseq_cli/generate.py --results-path)")
+    parser.add_argument("--remove-bpe", nargs="?", const="@@ ", default=None,
+                        help="strip BPE continuation markers from hyp/ref "
+                             "before scoring (fairseq --remove-bpe)")
     known, _ = parser.parse_known_args(argv)
     parser = AttentionFactory.add_attn_specific_args(
         parser, known.attn_name_encoder, struct_name="attn_args_encoder",
@@ -100,10 +108,29 @@ def main(args) -> dict:
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy, dummy))()
     params = load_params(args, model, params)
 
+    def post_process(sentence: str) -> str:
+        """fairseq ``--remove-bpe``: drop BPE continuation markers
+        (``fairseq/data/data_utils.py`` ``post_process`` for the
+        subword-nmt symbol)."""
+        if args.remove_bpe is None:
+            return sentence
+        return (sentence + " ").replace(args.remove_bpe, "").rstrip()
+
     scorer = BleuScorer()
+    word_vocab: dict = {}
+
+    def word_ids(line):
+        out = []
+        for w in line.split():
+            if w not in word_vocab:
+                word_vocab[w] = len(word_vocab) + 10
+            out.append(word_vocab[w])
+        return out
+
     K = args.beam
     n_out = 0
     outputs = []
+    gen_lines = []
     ids = list(range(min(len(src), args.gen_subset_size)))
     for i in range(0, len(ids), args.gen_batch):
         chunk = ids[i: i + args.gen_batch]
@@ -144,18 +171,42 @@ def main(args) -> dict:
             if len(eos_pos):
                 hyp = hyp[: eos_pos[0] + 1]
             ref = np.asarray(tgt[j])
-            scorer.add(ref.tolist(), hyp.tolist())
+            if td is not None and args.remove_bpe is not None:
+                # score the post-processed word sequences, as fairseq does
+                # when --remove-bpe is given (fairseq_cli/generate.py)
+                hyp_str = post_process(td.string(hyp))
+                ref_str = post_process(td.string(ref))
+                scorer.add(word_ids(ref_str), word_ids(hyp_str))
+            else:
+                scorer.add(ref.tolist(), hyp.tolist())
             n_out += 1
             if td is not None:
+                hyp_str = post_process(td.string(hyp))
+                ref_str = post_process(td.string(ref))
                 outputs.append({
                     "id": int(j),
-                    "hyp": td.string(hyp),
-                    "ref": td.string(ref),
+                    "hyp": hyp_str,
+                    "ref": ref_str,
                     "score": float(scores[b, 0]),
                 })
+                # fairseq gen.out line format (fairseq_cli/generate.py):
+                # S-id<TAB>src / T-id<TAB>ref / H-id<TAB>score<TAB>hyp
+                src_str = post_process(
+                    sd.string(np.asarray(src[j]))) if sd else ""
+                gen_lines.append(f"S-{j}\t{src_str}")
+                gen_lines.append(f"T-{j}\t{ref_str}")
+                gen_lines.append(f"H-{j}\t{scores[b, 0]:.4f}\t{hyp_str}")
     result = {"bleu": scorer.score(), "sentences": n_out,
               "detail": scorer.result_string()}
     print("| " + scorer.result_string())
+    if args.results_path:
+        # final line mirrors fairseq's "Generate test with beam=N: BLEU..."
+        # sentinel that compound_split_bleu.sh greps for completion
+        gen_lines.append(
+            f"Generate test with beam={K}: {scorer.result_string()}")
+        with open(args.results_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(gen_lines) + "\n")
+        print(f"| wrote generation output to {args.results_path}")
     print(json.dumps({k: v for k, v in result.items() if k != "detail"}))
     return result
 

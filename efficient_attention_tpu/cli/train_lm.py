@@ -61,6 +61,11 @@ def build_parser():
                         "reference's one-expert-per-worker default)")
     p.add_argument("--base-sublayers", type=int, default=1)
     p.add_argument("--base-shuffle", action="store_true")
+    p.add_argument("--max-nonfinite-skips", type=int, default=8,
+                   help="abort after this many CONSECUTIVE skipped updates "
+                        "(non-finite loss/grad -> skip + continue, the bf16 "
+                        "analogue of fairseq trainer.py:911-920; fairseq "
+                        "aborts when the loss scale bottoms out)")
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
@@ -252,6 +257,7 @@ def main(args) -> dict:
 
     t0 = time.time()
     stats = {}
+    consec_skips = 0
     while int(state.step) < args.max_update:
         order, pos = _advance_order(order, pos)
         idx = order[pos: pos + batch_size]
@@ -260,6 +266,16 @@ def main(args) -> dict:
         toks = jnp.asarray(batch[:, :-1])
         tgts = jnp.asarray(batch[:, 1:])
         state, metrics = jit_step(state, toks, tgts, rng)
+        if metrics.skipped is not None and bool(metrics.skipped):
+            consec_skips += 1
+            print(f"| WARNING: non-finite loss/grad detected, skipping "
+                  f"update ({consec_skips} consecutive)")
+            if consec_skips >= args.max_nonfinite_skips:
+                raise FloatingPointError(
+                    f"{consec_skips} consecutive non-finite updates; "
+                    "aborting (fairseq: minimum loss scale reached)")
+            continue
+        consec_skips = 0
         step = int(state.step)
         loss = float(metrics.loss)
         logger.update(loss=loss, ppl=math.exp(min(loss, 20)),

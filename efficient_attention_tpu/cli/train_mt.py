@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--keep-last-epochs", type=int, default=10)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--max-nonfinite-skips", type=int, default=8,
+                   help="abort after this many CONSECUTIVE skipped updates "
+                        "(non-finite loss/grad -> skip + continue, the bf16 "
+                        "analogue of fairseq trainer.py:911-920)")
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
@@ -223,6 +227,7 @@ def main(args) -> dict:
         from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
 
         aml = AzureMLLogger(True, log_dir=args.save_dir)
+    consec_skips = 0
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
         order = order[np.argsort(sizes[order], kind="stable")]
@@ -247,6 +252,16 @@ def main(args) -> dict:
             state, metrics = jit_step(
                 state, jnp.asarray(src_b), jnp.asarray(prev_b),
                 jnp.asarray(tgt_b), rng)
+            if metrics.skipped is not None and bool(metrics.skipped):
+                consec_skips += 1
+                print(f"| WARNING: non-finite loss/grad detected, skipping "
+                      f"update ({consec_skips} consecutive)")
+                if consec_skips >= args.max_nonfinite_skips:
+                    raise FloatingPointError(
+                        f"{consec_skips} consecutive non-finite updates; "
+                        "aborting (fairseq: minimum loss scale reached)")
+                continue
+            consec_skips = 0
             step = int(state.step)
             loss = float(metrics.loss)
             logger.update(loss=loss, gnorm=float(metrics.grad_norm))

@@ -18,11 +18,16 @@ from efficient_attention_tpu.training.criterions import (
     adaptive_loss,
     label_smoothed_nll_loss,
 )
-from efficient_attention_tpu.training.train_state import StepMetrics, TrainState
+from efficient_attention_tpu.training.train_state import (
+    StepMetrics,
+    TrainState,
+    apply_or_skip,
+)
 
 
 def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
-                       use_adaptive: bool = False):
+                       use_adaptive: bool = False,
+                       skip_nonfinite: bool = True):
     """LM step over (tokens, targets): next-token NLL / adaptive loss
     (``criterions/{cross_entropy,adaptive_loss}.py`` + LM recipe)."""
 
@@ -65,6 +70,9 @@ def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
             loss = loss / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
         grad_norm = optax.global_norm(grads)
+        if skip_nonfinite:
+            new_state, skipped = apply_or_skip(state, grads, loss, grad_norm)
+            return new_state, StepMetrics(loss, grad_norm, skipped)
         return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
 
     return train_step
@@ -90,7 +98,7 @@ def make_lm_eval_step(use_adaptive: bool = False, pad_idx: int = 1):
 
 
 def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
-                       accum_steps: int = 1):
+                       accum_steps: int = 1, skip_nonfinite: bool = True):
     """MT step over (src, prev_out, targets) with label-smoothed CE
     (``criterions/label_smoothed_cross_entropy.py``, the WMT recipe)."""
 
@@ -129,6 +137,9 @@ def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
             loss, nll = loss / accum_steps, nll / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
         grad_norm = optax.global_norm(grads)
+        if skip_nonfinite:
+            new_state, skipped = apply_or_skip(state, grads, loss, grad_norm)
+            return new_state, StepMetrics(loss, grad_norm, skipped)
         return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
 
     return train_step

@@ -63,6 +63,28 @@ class TrainState(struct.PyTreeNode):
 class StepMetrics(NamedTuple):
     loss: Array
     grad_norm: Array
+    # True when the update was skipped because loss/grads were non-finite
+    # (the bf16 analogue of fairseq's overflow->skip-update recovery,
+    # ``trainer.py:911-920``); None when skip-recovery is disabled
+    skipped: Optional[Array] = None
+
+
+def apply_or_skip(state: "TrainState", grads, loss: Array,
+                  grad_norm: Array) -> Tuple["TrainState", Array]:
+    """Apply gradients unless loss/grad-norm is non-finite, in which case
+    return the state UNCHANGED (step not incremented, optimizer untouched)
+    so training continues as if the poisoned batch never arrived.
+
+    This is the bf16 translation of the reference's gradient-overflow
+    recovery (``fairseq/trainer.py:911-920``: OverflowError -> zero grads,
+    skip the update, continue): with no loss scale to shrink, a non-finite
+    step is simply dropped.  Returns ``(new_state, skipped)``.
+    """
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    new_state = state.apply_gradients(grads)
+    merged = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, state)
+    return merged, ~ok
 
 
 def make_vit_train_step(
@@ -71,6 +93,7 @@ def make_vit_train_step(
     label_smoothing: float = 0.1,
     accum_steps: int = 1,
     erasing_cfg=None,
+    skip_nonfinite: bool = False,
 ):
     """Jittable ViT train step (replaces ``vit/engine.py:train_one_epoch``
     inner loop).  With ``accum_steps > 1`` microbatches are scanned, matching
@@ -132,6 +155,10 @@ def make_vit_train_step(
             loss = loss / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
         grad_norm = optax.global_norm(grads)
+        if skip_nonfinite:
+            new_state, skipped = apply_or_skip(state, grads, loss, grad_norm)
+            return new_state, StepMetrics(loss=loss, grad_norm=grad_norm,
+                                          skipped=skipped)
         new_state = state.apply_gradients(grads)
         return new_state, StepMetrics(loss=loss, grad_norm=grad_norm)
 

@@ -111,7 +111,11 @@ case "$DATASET" in
       --decoder-attn-window-size 16 --decoder-attn-chunk-size 8 \
       --decoder-attn-adaptive-proj qk --decoder-attn-causal \
       --path "$SAVE/ckpt" --num-avg-checkpoints 10 \
-      --beam 4 --lenpen 0.6 $EXTRA
+      --beam 4 --lenpen 0.6 --remove-bpe \
+      --results-path "$SAVE/gen.out" $EXTRA
+    # "compound split" tokenized BLEU (reference main.sh:176)
+    echo "--------------> compound split BLEU <----------------"
+    bash "$(dirname "$0")/scripts/compound_split_bleu.sh" "$SAVE/gen.out"
     ;;
 
   *)

@@ -293,3 +293,74 @@ class TestOfflineSinks:
         WandBLogger(None, log_dir=str(tmp_path)).log({"x": 1.0}, step=0)
         AzureMLLogger(False, log_dir=str(tmp_path)).log({"x": 1.0}, step=0)
         assert list(tmp_path.iterdir()) == []
+
+
+class TestStepSkipRecovery:
+    """Non-finite-step skip recovery — the bf16 analogue of the reference's
+    gradient-overflow handling (``fairseq/trainer.py:911-920``): a poisoned
+    batch's update is dropped (step/opt-state/params untouched) and training
+    continues bit-identically to a run that never saw the batch."""
+
+    def test_poisoned_batch_skipped_and_training_continues(self):
+        import optax
+
+        from efficient_attention_tpu.training.lm_steps import (
+            make_lm_train_step,
+        )
+
+        # tiny "model" whose logits blow up to inf iff the batch contains
+        # token 3 — a batch-triggered divergence, as in the reference's
+        # overflow scenario
+        def apply_fn(params, tokens, deterministic=True, rngs=None):
+            denom = 1.0 - (tokens == 3).any().astype(jnp.float32)
+            emb = jax.nn.one_hot(tokens, 8) @ params["params"]["w"]
+            return emb / denom
+
+        params = {"params": {"w": jnp.eye(8) * 0.1}}
+        state0 = TrainState.create(apply_fn, params, optax.sgd(0.1))
+        step = jax.jit(make_lm_train_step(pad_idx=-1, skip_nonfinite=True))
+        clean1 = jnp.ones((2, 4), jnp.int32)
+        clean2 = jnp.full((2, 4), 2, jnp.int32)
+        poisoned = jnp.full((2, 4), 3, jnp.int32)
+
+        rng = jax.random.PRNGKey(0)
+        tgt = jnp.zeros((2, 4), jnp.int32)
+
+        # run A: clean1, poisoned, clean2
+        sA, m1 = step(state0, clean1, tgt, rng)
+        assert not bool(m1.skipped)
+        sA_after_poison, mp = step(sA, poisoned, tgt, rng)
+        assert bool(mp.skipped)
+        # state untouched bitwise (step NOT incremented)
+        for a, b in zip(jax.tree_util.tree_leaves(sA_after_poison),
+                        jax.tree_util.tree_leaves(sA)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        sA_final, m2 = step(sA_after_poison, clean2, tgt, rng)
+        assert not bool(m2.skipped)
+
+        # run B: clean1, clean2 (no poison)
+        sB, _ = step(state0, clean1, tgt, rng)
+        sB_final, _ = step(sB, clean2, tgt, rng)
+        for a, b in zip(jax.tree_util.tree_leaves(sA_final),
+                        jax.tree_util.tree_leaves(sB_final)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_disabled_skip_applies_nan(self):
+        import optax
+
+        from efficient_attention_tpu.training.lm_steps import (
+            make_lm_train_step,
+        )
+
+        def apply_fn(params, tokens, deterministic=True, rngs=None):
+            return (jax.nn.one_hot(tokens, 8) @ params["params"]["w"]
+                    ) / 0.0  # always inf
+
+        params = {"params": {"w": jnp.eye(8) * 0.1}}
+        state0 = TrainState.create(apply_fn, params, optax.sgd(0.1))
+        step = jax.jit(make_lm_train_step(pad_idx=-1, skip_nonfinite=False))
+        s, m = step(state0, jnp.ones((2, 4), jnp.int32),
+                    jnp.zeros((2, 4), jnp.int32), jax.random.PRNGKey(0))
+        assert m.skipped is None
+        assert int(s.step) == 1  # update applied (and poisons params)
+        assert not bool(jnp.isfinite(s.params["params"]["w"]).all())
