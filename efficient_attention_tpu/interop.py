@@ -137,6 +137,150 @@ def convert_vit_state_dict(state_dict: Mapping[str, Any],
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+# ---------------------------------------------------------------- language --
+
+# flax DecoderLayer component -> fairseq TransformerDecoderLayer component
+_LM_COMPONENT_MAP = {
+    "ln_self": "self_attn_layer_norm",
+    "ln_cross": "encoder_attn_layer_norm",
+    "ln_ffn": "final_layer_norm",
+    "cross_attn": "encoder_attn",
+    "final_ln": "layer_norm",
+    "layers_0": "0",
+    "layers_1": "1",
+}
+
+# flax EncoderLayer (@nn.compact) component -> fairseq TransformerEncoderLayer
+_ENC_COMPONENT_MAP = {
+    "LayerNorm_0": "self_attn_layer_norm",
+    "LayerNorm_1": "final_layer_norm",
+    "Dense_0": "fc1",
+    "Dense_1": "fc2",
+    "layers_0": "0",
+    "layers_1": "1",
+}
+
+_LM_IGNORED_SUFFIXES = (
+    "._float_tensor", ".version",
+    # fully-tied adaptive softmax: every tail/word_proj tensor IS an
+    # adaptive-input tensor (fairseq TiedLinear registers the shared
+    # parameter under both names)
+    "adaptive_softmax.head.word_proj.weight",
+)
+_LM_IGNORED_RE = re.compile(
+    r"adaptive_softmax\.tail\.\d+\.\d+\.weight$")
+
+
+def _lang_path_to_torch_key(parts, shared_embed: bool) -> str:
+    """Translate a flax LM/MT param path to the fairseq parameter name.
+
+    LM example: ['decoder', 'layer_0', 'self_attn', 'q_proj', 'kernel'] ->
+    'decoder.layers.0.self_attn.q_proj.weight'.  MT encoder example:
+    ['encoder', 'layer_0', 'EVA_0', 'qkv', 'kernel'] ->
+    'encoder.layers.0.self_attn.attn.qkv.weight' (the fork's
+    ``EfficientAttention`` wrapper holds the factory module as ``.attn``,
+    ``fairseq/modules/efficient_attention.py:64``).
+    """
+    body, out = parts[:-1], []
+    in_encoder = parts and parts[0] == "encoder"
+    cmap = dict(_LM_COMPONENT_MAP)
+    if in_encoder:
+        cmap.update(_ENC_COMPONENT_MAP)
+    if parts and parts[0] == "adaptive_softmax":
+        # TransformerLM holds the (tied) adaptive softmax beside the
+        # decoder; fairseq nests it inside TransformerDecoder
+        out.append("decoder")
+    i = 0
+    while i < len(body):
+        p = body[i]
+        if p == "shared_embed":
+            # one flax table stands for encoder+decoder+output tied tables;
+            # source from the encoder key
+            out.append("encoder.embed_tokens")
+        elif p.startswith("layer_"):
+            out.append("layers." + p[len("layer_"):])
+        elif any(p == f"{c}_0" for c in _ATTN_CLASSES):
+            # factory-built encoder attention sits behind the
+            # EfficientAttention bridge as `.attn`
+            out.append("self_attn.attn")
+        elif re.fullmatch(r"emb_(\d+)", p):
+            out.append(f"embeddings.{p[4:]}.0")
+        elif re.fullmatch(r"proj_(\d+)", p):
+            out.append(f"embeddings.{p[5:]}.1")
+        elif p == "class_proj":
+            out.append("head.class_proj")
+        elif p in cmap:
+            out.append(cmap[p])
+        else:
+            out.append(p)
+        i += 1
+    leaf = parts[-1]
+    if leaf in ("kernel", "scale"):
+        out.append("weight")
+    elif leaf == "embedding":
+        out.append("weight")
+    elif leaf == "rel_pos_bias":
+        # causal-EVA scalar T5 table is a direct flax param; fairseq stores
+        # it as an Embedding inside T5RelativePositionBias
+        out.append("rel_pos_bias.relative_attention_bias.weight")
+    elif leaf == "relative_attention_bias":
+        out.append("relative_attention_bias.weight")
+    else:
+        out.append(leaf)
+    return ".".join(out)
+
+
+def convert_lang_state_dict(state_dict: Mapping[str, Any],
+                            flax_params: Dict,
+                            shared_embed: bool = False) -> Dict:
+    """Map a fairseq ``transformer_lm`` / ``transformer`` state_dict onto
+    the flax LM/MT param template (same architecture).
+
+    Handles: adaptive input bands, FULLY TIED adaptive softmax (only
+    ``head.class_proj`` is an independent tensor — the tied tail/word
+    tensors are recognized as duplicates of the adaptive-input bands),
+    ``--share-all-embeddings`` (one flax table fed from
+    ``encoder.embed_tokens.weight``), causal-EVA decoder layers, and the
+    fork's ``EfficientAttention``-wrapped factory encoder attention.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    treedef = jax.tree_util.tree_structure(flax_params)
+    used = set()
+    leaves = []
+    for path, leaf in flat:
+        parts = [getattr(k, "key", str(k)) for k in path]
+        if parts and parts[0] == "params":
+            parts = parts[1:]
+        tk = _lang_path_to_torch_key(parts, shared_embed)
+        if tk not in sd:
+            raise KeyError(
+                f"no reference parameter for flax leaf {'/'.join(parts)} "
+                f"(expected torch key '{tk}')")
+        val = _to_flax_layout(sd[tk], parts[-1])
+        if parts[-1] == "embedding" or parts[-1] == "rel_pos_bias" \
+                or parts[-1] == "relative_attention_bias":
+            val = np.asarray(sd[tk], np.float32)  # no transpose
+        if val.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {tk}: torch {val.shape} vs flax "
+                f"{leaf.shape}")
+        used.add(tk)
+        leaves.append(val.astype(leaf.dtype))
+    if shared_embed:
+        used.update({"decoder.embed_tokens.weight",
+                     "decoder.output_projection.weight"})
+    unused = [
+        k for k in sd
+        if k not in used
+        and not any(k.endswith(s) for s in _LM_IGNORED_SUFFIXES)
+        and not _LM_IGNORED_RE.search(k)
+    ]
+    if unused:
+        raise ValueError(f"unconverted reference parameters: {unused}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_reference_checkpoint(path: str, flax_params: Dict) -> Dict:
     """Load a reference ``ckpt.pth`` (or bare state_dict ``.pth``) file."""
     import torch

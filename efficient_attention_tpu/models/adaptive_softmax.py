@@ -90,6 +90,71 @@ class AdaptiveSoftmax(nn.Module):
         return jnp.concatenate(parts, axis=-1)
 
 
+class TiedAdaptiveSoftmax(nn.Module):
+    """Adaptive softmax fully tied to an :class:`AdaptiveInput` — the
+    ``tie_adaptive_weights=True, tie_adaptive_proj=True`` configuration of
+    the published wiki103 recipe (fairseq ``modules/adaptive_softmax.py``
+    ``TiedHeadModule``/``TiedLinear``; arch ``transformer_lm_wiki103``).
+
+    Owns ONLY the cluster-head projection (`class_proj`, [K, D]).  The band
+    embedding tables and band projections are the AdaptiveInput's
+    parameters, passed in at call time:
+
+      * head word logits  = x @ emb_0^T               (TiedLinear, no T)
+      * tail i projection = x @ proj_kernel_{i+1}^T   (TiedLinear, T)
+      * tail i out logits = h @ emb_{i+1}^T           (TiedLinear, no T)
+    """
+
+    vocab_size: int
+    input_dim: int
+    cutoffs: Tuple[int, ...]
+
+    def setup(self):
+        cutoffs = list(self.cutoffs) + [self.vocab_size]
+        assert sorted(set(cutoffs)) == cutoffs, "cutoffs must be increasing"
+        self._bounds = cutoffs
+        self.class_proj = nn.Dense(
+            len(cutoffs) - 1, use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform())
+
+    def _head_log_probs(self, x: Array, emb0: Array) -> Array:
+        word = x @ emb0.T.astype(x.dtype)            # [..., c0]
+        cls = self.class_proj(x)                     # [..., K]
+        return jax.nn.log_softmax(jnp.concatenate([word, cls], -1), axis=-1)
+
+    def _tail_log_probs(self, x: Array, i: int, embs, projs) -> Array:
+        h = x @ projs[i + 1].T.astype(x.dtype)       # [..., dim_i]
+        return jax.nn.log_softmax(h @ embs[i + 1].T.astype(x.dtype), axis=-1)
+
+    def nll(self, x: Array, targets: Array, embs, projs) -> Array:
+        """Per-token NLL. ``embs[i] [size_i, dim_i]``,
+        ``projs[i] [dim_i, D]`` (flax Dense kernels of the AdaptiveInput)."""
+        c0 = self._bounds[0]
+        head_lp = self._head_log_probs(x, embs[0])
+        in_head = targets < c0
+        head_tok = jnp.where(in_head, targets, 0)
+        nll = -jnp.take_along_axis(head_lp, head_tok[..., None], axis=-1)[..., 0]
+        for i in range(len(self._bounds) - 1):
+            lo, hi = self._bounds[i], self._bounds[i + 1]
+            in_tail = (targets >= lo) & (targets < hi)
+            tail_lp = self._tail_log_probs(x, i, embs, projs)
+            tail_tok = jnp.where(in_tail, targets - lo, 0)
+            lp = (head_lp[..., c0 + i]
+                  + jnp.take_along_axis(tail_lp, tail_tok[..., None],
+                                        axis=-1)[..., 0])
+            nll = jnp.where(in_tail, -lp, nll)
+        return nll
+
+    def log_prob(self, x: Array, embs, projs) -> Array:
+        c0 = self._bounds[0]
+        head_lp = self._head_log_probs(x, embs[0])
+        parts = [head_lp[..., :c0]]
+        for i in range(len(self._bounds) - 1):
+            tail_lp = self._tail_log_probs(x, i, embs, projs)
+            parts.append(head_lp[..., c0 + i:c0 + i + 1] + tail_lp)
+        return jnp.concatenate(parts, axis=-1)
+
+
 class AdaptiveInput(nn.Module):
     """Adaptive input embeddings (Baevski & Auli), fairseq
     ``modules/adaptive_input.py``: rare tokens get lower-dim embeddings

@@ -29,6 +29,9 @@ from efficient_attention_tpu.attention.base import MASK_VAL
 Array = jax.Array
 
 
+# LayerNorm epsilon follows torch.nn.LayerNorm's default (1e-5), which is
+# what every fairseq transformer layer uses — required for reference-
+# checkpoint interop parity (tests/test_interop.py)
 def sinusoidal_positions(max_len: int, dim: int, offset: int = 2) -> np.ndarray:
     """fairseq-style sinusoidal embeddings (pad-offset positions)."""
     half = dim // 2
@@ -180,7 +183,7 @@ class EncoderLayer(nn.Module):
             {**self.attn_args, "dim": self.embed_dim,
              "num_heads": self.num_heads, "attn_drop": self.dropout,
              "proj_drop": 0.0})
-        ln1, ln2 = nn.LayerNorm(), nn.LayerNorm()
+        ln1, ln2 = nn.LayerNorm(epsilon=1e-5), nn.LayerNorm(epsilon=1e-5)
         residual = x
         if self.normalize_before:
             x = ln1(x)
@@ -235,15 +238,15 @@ class DecoderLayer(nn.Module):
             raise NotImplementedError(
                 f"decoder attention {self.attn_name} (reference supports "
                 "causal_eva and softmax, transformer_layer.py:295-321)")
-        self.ln_self = nn.LayerNorm()
+        self.ln_self = nn.LayerNorm(epsilon=1e-5)
         if self.has_cross:
             self.cross_attn = CrossAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 dropout=self.dropout)
-            self.ln_cross = nn.LayerNorm()
+            self.ln_cross = nn.LayerNorm(epsilon=1e-5)
         self.fc1 = nn.Dense(self.ffn_dim)
         self.fc2 = nn.Dense(self.embed_dim)
-        self.ln_ffn = nn.LayerNorm()
+        self.ln_ffn = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
         self.act_drop = nn.Dropout(self.activation_dropout)
 
@@ -332,11 +335,17 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = False
     pad_idx: int = 1
     learned_pos: bool = False
+    # shared encoder/decoder embedding (``--share-all-embeddings``): the
+    # parent model creates the Embed once and passes the bound module down
+    embed_module: Optional[nn.Module] = None
 
     def setup(self):
-        self.embed_tokens = nn.Embed(
-            self.vocab_size, self.embed_dim,
-            embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
+        if self.embed_module is not None:
+            self.embed_tokens = self.embed_module
+        else:
+            self.embed_tokens = nn.Embed(
+                self.vocab_size, self.embed_dim,
+                embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
         self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
         self.embed_dropout = nn.Dropout(self.dropout)
@@ -348,7 +357,7 @@ class TransformerEncoder(nn.Module):
                 normalize_before=self.normalize_before, name=f"layer_{i}")
             for i in range(self.num_layers)]
         if self.normalize_before:
-            self.final_ln = nn.LayerNorm()
+            self.final_ln = nn.LayerNorm(epsilon=1e-5)
 
     def __call__(self, src_tokens, deterministic=True):
         B, T = src_tokens.shape
@@ -380,6 +389,15 @@ class TransformerDecoder(nn.Module):
     pad_idx: int = 1
     has_cross: bool = True
     share_input_output_embed: bool = True
+    # adaptive input embeddings (wiki103 recipe, ``transformer_lm.py:406``;
+    # fairseq ``modules/adaptive_input.py``)
+    adaptive_input_cutoffs: Optional[Tuple[int, ...]] = None
+    # fairseq ``no_decoder_final_norm`` (wiki103 sets it: normalize_before
+    # WITHOUT a final decoder LayerNorm, ``transformer_lm.py`` arch)
+    final_norm: bool = True
+    # encoder/decoder embedding sharing (``--share-all-embeddings``): the
+    # parent creates the Embed and passes the bound module down
+    embed_module: Optional[nn.Module] = None
     # BASE-layer MoE (``--base-layers``, reference transformer_lm.py:187-195,
     # transformer_decoder.py:166-171)
     base_layers: int = 0
@@ -388,9 +406,20 @@ class TransformerDecoder(nn.Module):
     base_shuffle: bool = False
 
     def setup(self):
-        self.embed_tokens = nn.Embed(
-            self.vocab_size, self.embed_dim,
-            embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
+        if self.embed_module is not None:
+            self.embed_tokens = self.embed_module
+        elif self.adaptive_input_cutoffs is not None:
+            from efficient_attention_tpu.models.adaptive_softmax import (
+                AdaptiveInput,
+            )
+
+            self.embed_tokens = AdaptiveInput(
+                vocab_size=self.vocab_size, embed_dim=self.embed_dim,
+                cutoffs=tuple(self.adaptive_input_cutoffs))
+        else:
+            self.embed_tokens = nn.Embed(
+                self.vocab_size, self.embed_dim,
+                embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
         self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
         self.embed_dropout = nn.Dropout(self.dropout)
@@ -402,9 +431,10 @@ class TransformerDecoder(nn.Module):
                 normalize_before=self.normalize_before,
                 has_cross=self.has_cross, name=f"layer_{i}")
             for i in range(self.num_layers)]
-        if self.normalize_before:
-            self.final_ln = nn.LayerNorm()
-        if not self.share_input_output_embed:
+        if self.normalize_before and self.final_norm:
+            self.final_ln = nn.LayerNorm(epsilon=1e-5)
+        if (not self.share_input_output_embed
+                and self.adaptive_input_cutoffs is None):
             self.output_projection = nn.Dense(self.vocab_size, use_bias=False)
         if self.base_layers:
             from efficient_attention_tpu.models.base_layer import (
@@ -434,6 +464,10 @@ class TransformerDecoder(nn.Module):
         return x, bi
 
     def _output_layer(self, x):
+        if self.adaptive_input_cutoffs is not None:
+            raise ValueError(
+                "adaptive-input decoders emit features; the output layer is "
+                "the (tied) adaptive softmax on TransformerLM")
         if self.share_input_output_embed:
             return x @ self.embed_tokens.embedding.T
         return self.output_projection(x)
@@ -456,7 +490,7 @@ class TransformerDecoder(nn.Module):
                       self_padding_mask=padding_mask,
                       deterministic=deterministic)
         x, bi = self._run_base(x, bi, self.num_layers, deterministic)
-        if self.normalize_before:
+        if self.normalize_before and self.final_norm:
             x = self.final_ln(x)
         if features_only:
             return x
@@ -468,7 +502,7 @@ class TransformerDecoder(nn.Module):
                 for layer in self.layers]
 
     def decode_step(self, states, tokens, pos, enc_out=None,
-                    enc_padding_mask=None):
+                    enc_padding_mask=None, features_only=False):
         """One decode step. tokens: [B, 1]; pos: scalar step index."""
         x = self._embed(tokens, pos_offset=pos)
         new_states = []
@@ -479,8 +513,10 @@ class TransformerDecoder(nn.Module):
                                       enc_padding_mask=enc_padding_mask)
             new_states.append(st)
         x, bi = self._run_base(x, bi, self.num_layers, True)
-        if self.normalize_before:
+        if self.normalize_before and self.final_norm:
             x = self.final_ln(x)
+        if features_only:
+            return x, new_states
         return self._output_layer(x), new_states
 
 
@@ -501,20 +537,35 @@ class TransformerModel(nn.Module):
     dropout: float = 0.1
     max_len: int = 1024
     pad_idx: int = 1
+    # ``--share-all-embeddings`` (the WMT recipe, reference main.sh:148):
+    # one embedding table shared by encoder input, decoder input, and the
+    # decoder output projection (requires a joint vocabulary)
+    share_all_embeddings: bool = False
 
     def setup(self):
+        shared = None
+        if self.share_all_embeddings:
+            if self.src_vocab_size != self.tgt_vocab_size:
+                raise ValueError(
+                    "--share-all-embeddings requires a joint vocabulary")
+            shared = nn.Embed(
+                self.src_vocab_size, self.embed_dim,
+                embedding_init=nn.initializers.normal(self.embed_dim**-0.5),
+                name="shared_embed")
         self.encoder = TransformerEncoder(
             vocab_size=self.src_vocab_size, embed_dim=self.embed_dim,
             ffn_dim=self.ffn_dim, num_layers=self.num_layers,
             num_heads=self.num_heads, attn_name=self.attn_name_encoder,
             attn_args=dict(self.attn_args_encoder), dropout=self.dropout,
-            max_len=self.max_len, pad_idx=self.pad_idx)
+            max_len=self.max_len, pad_idx=self.pad_idx,
+            embed_module=shared)
         self.decoder = TransformerDecoder(
             vocab_size=self.tgt_vocab_size, embed_dim=self.embed_dim,
             ffn_dim=self.ffn_dim, num_layers=self.num_layers,
             num_heads=self.num_heads, attn_name=self.attn_name_decoder,
             attn_args=dict(self.attn_args_decoder), dropout=self.dropout,
-            max_len=self.max_len, pad_idx=self.pad_idx, has_cross=True)
+            max_len=self.max_len, pad_idx=self.pad_idx, has_cross=True,
+            embed_module=shared)
 
     def __call__(self, src_tokens, prev_output_tokens, deterministic=True):
         enc_out, enc_padding = self.encoder(src_tokens,
@@ -551,6 +602,13 @@ class TransformerLM(nn.Module):
     max_len: int = 3072
     pad_idx: int = 1
     adaptive_cutoffs: Optional[Tuple[int, ...]] = None
+    # the published wiki103 configuration (``transformer_lm_wiki103``):
+    # adaptive INPUT embeddings with the adaptive softmax fully tied to them
+    # (tie_adaptive_weights + tie_adaptive_proj) and NO final decoder LN
+    # (no_decoder_final_norm)
+    adaptive_input: bool = False
+    tie_adaptive: bool = True
+    final_norm: bool = True
     base_layers: int = 0
     base_experts: int = 0
     base_sublayers: int = 1
@@ -563,18 +621,44 @@ class TransformerLM(nn.Module):
             num_heads=self.num_heads, attn_name=self.attn_name,
             attn_args=dict(self.attn_args), dropout=self.dropout,
             max_len=self.max_len, pad_idx=self.pad_idx, has_cross=False,
-            normalize_before=True, base_layers=self.base_layers,
+            normalize_before=True, final_norm=self.final_norm,
+            adaptive_input_cutoffs=(tuple(self.adaptive_cutoffs)
+                                    if self.adaptive_input else None),
+            base_layers=self.base_layers,
             base_experts=self.base_experts,
             base_sublayers=self.base_sublayers,
             base_shuffle=self.base_shuffle)
         if self.adaptive_cutoffs:
             from efficient_attention_tpu.models.adaptive_softmax import (
                 AdaptiveSoftmax,
+                TiedAdaptiveSoftmax,
             )
 
-            self.adaptive_softmax = AdaptiveSoftmax(
-                vocab_size=self.vocab_size, input_dim=self.embed_dim,
-                cutoffs=tuple(self.adaptive_cutoffs))
+            if self.adaptive_input and self.tie_adaptive:
+                self.adaptive_softmax = TiedAdaptiveSoftmax(
+                    vocab_size=self.vocab_size, input_dim=self.embed_dim,
+                    cutoffs=tuple(self.adaptive_cutoffs))
+            else:
+                self.adaptive_softmax = AdaptiveSoftmax(
+                    vocab_size=self.vocab_size, input_dim=self.embed_dim,
+                    cutoffs=tuple(self.adaptive_cutoffs))
+
+    def _adaptive_band_weights(self):
+        """Band (embedding, projection-kernel) arrays of the decoder's
+        AdaptiveInput, for the tied softmax."""
+        ps = self.decoder.embed_tokens.variables["params"]
+        n = sum(1 for k in ps if k.startswith("emb_"))
+        embs = [ps[f"emb_{i}"]["embedding"] for i in range(n)]
+        projs = [ps[f"proj_{i}"]["kernel"] for i in range(n)]
+        return embs, projs
+
+    def _log_prob(self, feats):
+        if not self.adaptive_cutoffs:
+            return jax.nn.log_softmax(self.decoder._output_layer(feats), -1)
+        if self.adaptive_input and self.tie_adaptive:
+            embs, projs = self._adaptive_band_weights()
+            return self.adaptive_softmax.log_prob(feats, embs, projs)
+        return self.adaptive_softmax.log_prob(feats)
 
     def __call__(self, tokens, deterministic=True, features_only=False):
         feats = self.decoder(tokens, deterministic=deterministic,
@@ -582,7 +666,7 @@ class TransformerLM(nn.Module):
         if features_only:
             return feats
         if self.adaptive_cutoffs:
-            return self.adaptive_softmax.log_prob(feats)
+            return self._log_prob(feats)
         return self.decoder._output_layer(feats)
 
     def loss(self, tokens, targets, deterministic=True):
@@ -590,6 +674,9 @@ class TransformerLM(nn.Module):
         feats = self.decoder(tokens, deterministic=deterministic,
                              features_only=True)
         if self.adaptive_cutoffs:
+            if self.adaptive_input and self.tie_adaptive:
+                embs, projs = self._adaptive_band_weights()
+                return self.adaptive_softmax.nll(feats, targets, embs, projs)
             return self.adaptive_softmax.nll(feats, targets)
         logits = self.decoder._output_layer(feats)
         return -jnp.take_along_axis(
@@ -599,4 +686,8 @@ class TransformerLM(nn.Module):
         return self.decoder.init_decode_state(batch_size, max_len, dtype)
 
     def decode_step(self, states, tokens, pos):
+        if self.adaptive_cutoffs:
+            feats, states = self.decoder.decode_step(
+                states, tokens, pos, features_only=True)
+            return self._log_prob(feats), states
         return self.decoder.decode_step(states, tokens, pos)

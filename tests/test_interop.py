@@ -167,3 +167,98 @@ class TestConvertCli:
             "--output-dir", str(tmp_path)])
         stats = vit_main(args)
         assert np.isfinite(stats["loss"])
+
+
+class TestConvertLanguage:
+    """fairseq ``transformer_lm`` / ``transformer`` checkpoints convert to
+    the flax stack (fixtures from ``scripts/make_lm_goldens.py``; VERDICT r2
+    item 2: language-side checkpoint interop with full-model goldens)."""
+
+    def _load(self, name):
+        data = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                    name))
+        sd = {k[len("sd__"):]: data[k] for k in data.files
+              if k.startswith("sd__")}
+        return data, sd
+
+    def _lm(self, attn_name, attn_args):
+        from efficient_attention_tpu.models.transformer import TransformerLM
+
+        return TransformerLM(
+            vocab_size=120, embed_dim=48, ffn_dim=96, num_layers=2,
+            num_heads=2, attn_name=attn_name, attn_args=attn_args,
+            dropout=0.0, max_len=1024, adaptive_cutoffs=(40, 80),
+            adaptive_input=True, tie_adaptive=True, final_norm=False)
+
+    def test_lm_softmax_adaptive_matches_reference(self):
+        from efficient_attention_tpu.interop import convert_lang_state_dict
+
+        data, sd = self._load("lm_softmax_adaptive.npz")
+        m = self._lm("softmax", {})
+        toks = jnp.asarray(data["tokens"])
+        template = m.init(jax.random.PRNGKey(0), toks[:1])
+        params = convert_lang_state_dict(sd, template)
+        feats = m.apply(params, toks, features_only=True)
+        np.testing.assert_allclose(np.asarray(feats), data["features"],
+                                   atol=1e-4, rtol=1e-4)
+        lp = m.apply(params, toks)
+        np.testing.assert_allclose(np.asarray(lp), data["logprobs"],
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_lm_causal_eva_adaptive_matches_reference(self):
+        from efficient_attention_tpu.interop import convert_lang_state_dict
+
+        data, sd = self._load("lm_causal_eva_adaptive.npz")
+        m = self._lm("causal_eva",
+                     {"window_size": 8, "chunk_size": 4,
+                      "adaptive_proj": "qk", "use_t5_rpe": True,
+                      "causal": True})
+        toks = jnp.asarray(data["tokens"])
+        template = m.init(jax.random.PRNGKey(0), toks[:1])
+        params = convert_lang_state_dict(sd, template)
+        feats = m.apply(params, toks, features_only=True)
+        np.testing.assert_allclose(np.asarray(feats), data["features"],
+                                   atol=1e-4, rtol=1e-4)
+        lp = m.apply(params, toks)
+        np.testing.assert_allclose(np.asarray(lp), data["logprobs"],
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_mt_eva_causal_matches_reference(self):
+        from efficient_attention_tpu.interop import convert_lang_state_dict
+        from efficient_attention_tpu.models.transformer import (
+            TransformerModel,
+        )
+
+        data, sd = self._load("mt_eva_causal.npz")
+        m = TransformerModel(
+            src_vocab_size=120, tgt_vocab_size=120, embed_dim=48,
+            ffn_dim=96, num_layers=2, num_heads=2,
+            attn_name_encoder="eva",
+            attn_args_encoder={"window_size": 4, "num_landmarks": 4,
+                               "overlap_window": True, "use_t5_rpe": True,
+                               "adaptive_proj": "no-ln", "attn_2d": False,
+                               "use_rpe": False},
+            attn_name_decoder="causal_eva",
+            attn_args_decoder={"window_size": 4, "chunk_size": 2,
+                               "adaptive_proj": "qk", "use_t5_rpe": True,
+                               "causal": True},
+            dropout=0.0, max_len=1024, share_all_embeddings=True)
+        src = jnp.asarray(data["src"])
+        prev = jnp.asarray(data["prev"])
+        template = m.init(jax.random.PRNGKey(0), src[:1], prev[:1])
+        params = convert_lang_state_dict(sd, template, shared_embed=True)
+        logits = m.apply(params, src, prev)
+        np.testing.assert_allclose(np.asarray(logits), data["logits"],
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_lm_missing_key_raises(self):
+        from efficient_attention_tpu.interop import convert_lang_state_dict
+
+        data, sd = self._load("lm_softmax_adaptive.npz")
+        m = self._lm("softmax", {})
+        toks = jnp.asarray(data["tokens"])
+        template = m.init(jax.random.PRNGKey(0), toks[:1])
+        bad = {k: v for k, v in sd.items()
+               if k != "decoder.layers.0.fc1.bias"}
+        with pytest.raises(KeyError, match="fc1.bias"):
+            convert_lang_state_dict(bad, template)
