@@ -262,3 +262,41 @@ class TestConvertLanguage:
                if k != "decoder.layers.0.fc1.bias"}
         with pytest.raises(KeyError, match="fc1.bias"):
             convert_lang_state_dict(bad, template)
+
+
+class TestConvertLanguageCli:
+    def test_lm_cli_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from flax import serialization
+
+        from efficient_attention_tpu.cli.convert_checkpoint import main
+        from efficient_attention_tpu.models.transformer import TransformerLM
+
+        data = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                    "lm_causal_eva_adaptive.npz"))
+        sd = {k[len("sd__"):]: data[k] for k in data.files
+              if k.startswith("sd__")}
+        ckpt = tmp_path / "checkpoint_best.pt"
+        torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                              for k, v in sd.items()}}, str(ckpt))
+        out = tmp_path / "lm.msgpack"
+        main(["--torch-ckpt", str(ckpt), "--family", "lm",
+              "--attn-name", "causal_eva", "--lm-embed-dim", "48",
+              "--lm-ffn-dim", "96", "--lm-layers", "2", "--lm-heads", "2",
+              "--attn-window-size", "8", "--attn-chunk-size", "4",
+              "--attn-adaptive-proj", "qk", "--attn-use-t5-rpe",
+              "--attn-causal", "--out", str(out)])
+        m = TransformerLM(
+            vocab_size=120, embed_dim=48, ffn_dim=96, num_layers=2,
+            num_heads=2, attn_name="causal_eva",
+            attn_args={"window_size": 8, "chunk_size": 4,
+                       "adaptive_proj": "qk", "use_t5_rpe": True,
+                       "causal": True},
+            dropout=0.0, max_len=1024, adaptive_cutoffs=(40, 80),
+            adaptive_input=True, tie_adaptive=True, final_norm=False)
+        toks = jnp.asarray(data["tokens"])
+        template = m.init(jax.random.PRNGKey(0), toks[:1])
+        params = serialization.from_bytes(template, out.read_bytes())
+        lp = m.apply(params, toks)
+        np.testing.assert_allclose(np.asarray(lp), data["logprobs"],
+                                   atol=1e-4, rtol=1e-4)
