@@ -104,6 +104,12 @@ class CausalEVAttention(nn.Module):
     # (ops/pallas/causal_packed.py); 'packed': force it (interpret mode off
     # TPU — used by tests); 'xla': never
     impl: str = "auto"
+    # sequence/context parallelism: when set (a mesh axis name) the module
+    # must run INSIDE shard_map with tokens sharded along that axis; local
+    # windows stay on-shard and only the tiny [c, d] chunk summaries are
+    # all-gathered (parallel/seq_parallel.py — the TPU-idiomatic replacement
+    # for ring attention, SURVEY §5 long-context)
+    seq_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -292,13 +298,41 @@ class CausalEVAttention(nn.Module):
         mu = rf_q_bar + rf_k_bar  # [b, h, c, d] (``causal_eva.py:717``)
 
         if not deterministic:
-            mu = mu + jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+            sample_rng = self.make_rng("sample")
+            if self.seq_axis is not None:
+                # distinct proposal noise per sequence shard (the global
+                # chunks are iid; an unfolded key would repeat the same
+                # noise on every shard)
+                sample_rng = jax.random.fold_in(
+                    sample_rng, jax.lax.axis_index(self.seq_axis))
+            mu = mu + jax.random.normal(sample_rng, mu.shape, mu.dtype)
         # [b, h, c, j]
         log_proj_w_k = prm_projection(rf_w_k, mu[..., None, :], normalize=False)[..., 0, :]
         log_proj_w_k = jnp.where(rf_w_mask[..., 0], MASK_VAL, log_proj_w_k)
         beta = jnp.einsum(
             "...cj,...cjd->...cd",
             jax.nn.softmax(log_proj_w_k, axis=-1), rf_w_v)
+
+        if self.seq_axis is not None:
+            # ---- sequence-parallel path (inside shard_map): this shard's
+            # windows + summaries feed the gathered joint softmax; chunk
+            # causality uses GLOBAL positions via axis_index ----
+            from efficient_attention_tpu.parallel.seq_parallel import (
+                causal_eva_attention_shard,
+            )
+
+            if (had_mask or self.ext_size != 0 or not self.causal
+                    or N != tgt_len or N % self.window_size != 0):
+                raise ValueError(
+                    "seq_axis requires causal mode, no overlap halo, no "
+                    "padding mask, and shard length a multiple of "
+                    "window_size")
+            bias = self._t5_bias(self.window_size, self.window_size)
+            out = causal_eva_attention_shard(
+                w_q, w_k, w_v, rf_k_bar, beta, self.scaling,
+                self.seq_axis, rf_chunk_size, bias=bias)
+            x = jnp.swapaxes(W.window_1d_merge(out), 1, 2).reshape(B, N, C)
+            return self.out_proj(x)
 
         if self._packed_ok(B, N, tgt_len, had_mask, deterministic,
                            rf_chunk_size, qp.dtype.itemsize):

@@ -61,6 +61,19 @@ def build_parser():
                         "reference's one-expert-per-worker default)")
     p.add_argument("--base-sublayers", type=int, default=1)
     p.add_argument("--base-shuffle", action="store_true")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="shard the token dimension over a 'seq' mesh axis "
+                        "of this size (causal_eva decoder only; the TPU "
+                        "replacement for the reference's absent sequence "
+                        "parallelism — local windows stay on-shard, only "
+                        "chunk summaries are all-gathered)")
+    p.add_argument("--pipeline-stages", type=int, default=1,
+                   help="GPipe pipeline parallelism over a 'stage' mesh "
+                        "axis (reference --pipeline-model-parallel, "
+                        "fairseq/dataclass/configs.py:365-423)")
+    p.add_argument("--pipeline-chunks", type=int, default=2,
+                   help="microbatches per pipelined step (reference "
+                        "--pipeline-chunks)")
     p.add_argument("--max-nonfinite-skips", type=int, default=8,
                    help="abort after this many CONSECUTIVE skipped updates "
                         "(non-finite loss/grad -> skip + continue, the bf16 "
@@ -112,7 +125,7 @@ def load_corpus(args):
     return ds.flat_tokens(), d, len(d)
 
 
-def build_model(args, vocab_size):
+def build_model(args, vocab_size, seq_axis=None):
     import argparse as _ap
 
     from efficient_attention_tpu.config import namespace_to_dict
@@ -143,12 +156,119 @@ def build_model(args, vocab_size):
         dropout=args.dropout,
         max_len=args.max_len,
         adaptive_cutoffs=cutoffs,
+        seq_axis=seq_axis,
         base_layers=getattr(args, "base_layers", 0),
         base_experts=base_experts,
         base_sublayers=getattr(args, "base_sublayers", 1),
         base_shuffle=getattr(args, "base_shuffle", False),
     )
 
+
+
+
+def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
+    """GPipe pipeline-parallel training loop (``--pipeline-stages N``) —
+    the CLI surface for the reference's ``--pipeline-model-parallel``
+    (``fairseq/dataclass/configs.py:365-423``), built on
+    ``parallel.pipeline.make_pipelined_train_step``: decoder layers stacked
+    on a leading L axis sharded over a ``stage`` mesh axis, microbatched
+    GPipe schedule, embed/head replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh
+
+    from efficient_attention_tpu.models.transformer import (
+        DecoderLayer,
+        sinusoidal_positions,
+    )
+    from efficient_attention_tpu.parallel.pipeline import (
+        make_pipelined_train_step,
+    )
+    from efficient_attention_tpu.training import (
+        MetricLogger,
+        make_optimizer,
+    )
+    from efficient_attention_tpu.config import namespace_to_dict
+
+    n_stages = args.pipeline_stages
+    devices = jax.devices()
+    if len(devices) % n_stages != 0 and len(devices) < n_stages:
+        raise ValueError(
+            f"--pipeline-stages {n_stages} needs at least that many devices")
+    L = args.decoder_layers
+    if L % n_stages != 0:
+        raise ValueError("--decoder-layers must divide by --pipeline-stages")
+    D = args.decoder_embed_dim
+    T = args.tokens_per_sample
+    attn_args = namespace_to_dict(
+        getattr(args, "attn_args_decoder", argparse.Namespace()))
+    layer = DecoderLayer(
+        embed_dim=D, ffn_dim=args.decoder_ffn_embed_dim,
+        num_heads=args.decoder_attention_heads,
+        attn_name=args.attn_name_decoder, attn_args=attn_args,
+        dropout=0.0, has_cross=False, normalize_before=True)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), L)
+    x0 = jnp.zeros((2, T, D))
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[layer.init(k, x0, deterministic=True) for k in keys])
+    rng = np.random.default_rng(args.seed)
+    emb = jnp.asarray(rng.normal(0, D ** -0.5, (vocab_size, D)), jnp.float32)
+    pos = jnp.asarray(sinusoidal_positions(T, D))
+    scale = math.sqrt(D)
+    head_w = jnp.asarray(rng.normal(0, D ** -0.5, (D, vocab_size)),
+                         jnp.float32)
+    head_p = (jnp.ones((D,)), jnp.zeros((D,)), head_w)
+
+    def embed_fn(p, tok):
+        return jnp.take(p, tok, axis=0) * scale + pos[None, None]
+
+    def head_fn(p, h):
+        ln_s, ln_b, w = p
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+        h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        return h @ w
+
+    def layer_fn(p, x):
+        return layer.apply(p, x, deterministic=True)
+
+    def loss_fn(logits, tgt):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, tgt).mean()
+
+    tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
+                        clip_grad=args.clip_norm)
+    mesh = Mesh(np.array(devices[:n_stages]), ("stage",))
+    init_opt, step = make_pipelined_train_step(
+        layer_fn, loss_fn, tx, mesh, embed_fn=embed_fn, head_fn=head_fn)
+    params3 = (stacked, emb, head_p)
+    opt_state = init_opt(params3)
+
+    num_micro = max(2, args.pipeline_chunks)
+    mb = max(1, args.max_tokens // T // num_micro)
+    logger = MetricLogger()
+    order = rng.permutation(len(blocks))
+    pos_i = 0
+    stats = {}
+    for update in range(args.max_update):
+        if pos_i + num_micro * mb > len(order):
+            order = rng.permutation(len(blocks))
+            pos_i = 0
+        idx = order[pos_i: pos_i + num_micro * mb]
+        pos_i += num_micro * mb
+        batch = np.stack([blocks[int(i)] for i in idx])
+        toks = jnp.asarray(batch[:, :-1]).reshape(num_micro, mb, T)
+        tgts = jnp.asarray(batch[:, 1:]).reshape(num_micro, mb, T)
+        params3, opt_state, loss = step(params3, opt_state, toks, tgts)
+        logger.update(loss=float(loss))
+        if (update + 1) % args.log_interval == 0:
+            print(f"| pp step {update + 1} {logger}")
+        stats = {"step": update + 1, "loss": float(loss)}
+    print(json.dumps(stats))
+    return stats
 
 def main(args) -> dict:
     from efficient_attention_tpu.parallel import init_distributed_from_args
@@ -175,10 +295,12 @@ def main(args) -> dict:
     model = build_model(args, vocab_size)
     blocks = TokenBlockDataset(tokens, args.tokens_per_sample + 1, pad_idx=1)
     n_dev = len(jax.devices())
-    mesh = make_mesh(data=-1)
-    batch_size = max(n_dev, (args.max_tokens // args.tokens_per_sample)
+    sp = max(1, args.seq_parallel)
+    mesh = make_mesh(data=-1, seq=sp)
+    dp = max(1, n_dev // sp)
+    batch_size = max(dp, (args.max_tokens // args.tokens_per_sample)
                      * args.update_freq)
-    batch_size -= batch_size % n_dev
+    batch_size -= batch_size % dp
 
     if args.lr_scheduler == "cosine":
         schedule = cosine_tmult_schedule(
@@ -192,21 +314,35 @@ def main(args) -> dict:
         schedule = polynomial_schedule(args.lr, args.warmup_updates,
                                        args.max_update)
 
+    if args.pipeline_stages > 1:
+        return _pipelined_main(args, tokens, vocab_size, blocks, schedule)
+
     dummy = jnp.zeros((1, args.tokens_per_sample), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(args.seed), dummy))()
     tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
                         clip_grad=args.clip_norm, params_for_mask=params)
     state = TrainState.create(model.apply, params, tx)
 
-    train_step = make_lm_train_step(
-        pad_idx=1, accum_steps=args.update_freq,
-        use_adaptive=model.adaptive_cutoffs is not None)
-    data_sharding = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
-    jit_step = jax.jit(
-        train_step,
-        in_shardings=(repl, data_sharding, data_sharding, None),
-        out_shardings=(repl, None), donate_argnums=(0,))
+    if sp > 1:
+        from efficient_attention_tpu.parallel.seq_parallel import (
+            make_seq_parallel_lm_train_step,
+        )
+
+        if args.update_freq != 1:
+            raise NotImplementedError(
+                "--seq-parallel does not compose with --update-freq yet")
+        sp_model = build_model(args, vocab_size, seq_axis="seq")
+        jit_step = make_seq_parallel_lm_train_step(mesh, sp_model, pad_idx=1)
+    else:
+        train_step = make_lm_train_step(
+            pad_idx=1, accum_steps=args.update_freq,
+            use_adaptive=model.adaptive_cutoffs is not None)
+        data_sharding = NamedSharding(mesh, batch_spec())
+        jit_step = jax.jit(
+            train_step,
+            in_shardings=(repl, data_sharding, data_sharding, None),
+            out_shardings=(repl, None), donate_argnums=(0,))
     state = jax.device_put(state, repl)
 
     os.makedirs(args.save_dir, exist_ok=True)

@@ -220,17 +220,24 @@ class DecoderLayer(nn.Module):
     activation_dropout: float = 0.0
     normalize_before: bool = False
     has_cross: bool = True
+    # sequence parallelism (mesh axis name; requires causal_eva self-attn
+    # and running inside shard_map — parallel/seq_parallel.py)
+    seq_axis: Optional[str] = None
 
     def setup(self):
         if self.attn_name == "causal_eva":
             self.self_attn = CausalEVAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dropout=self.dropout, causal=True,
+                dropout=self.dropout, causal=True, seq_axis=self.seq_axis,
                 **{k: v for k, v in self.attn_args.items()
                    if k in ("window_size", "overlap_window", "num_chunks",
                             "chunk_size", "adaptive_proj", "use_t5_rpe",
                             "impl")})
         elif self.attn_name == "softmax":
+            if self.seq_axis is not None:
+                raise NotImplementedError(
+                    "sequence parallelism requires causal_eva decoder "
+                    "self-attention (softmax attends across shards)")
             self.self_attn = CausalSelfAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 dropout=self.dropout)
@@ -398,6 +405,10 @@ class TransformerDecoder(nn.Module):
     # encoder/decoder embedding sharing (``--share-all-embeddings``): the
     # parent creates the Embed and passes the bound module down
     embed_module: Optional[nn.Module] = None
+    # sequence parallelism (mesh axis name): layers route causal-EVA
+    # attention through parallel/seq_parallel.py; the positional slice is
+    # offset by this shard's global token offset
+    seq_axis: Optional[str] = None
     # BASE-layer MoE (``--base-layers``, reference transformer_lm.py:187-195,
     # transformer_decoder.py:166-171)
     base_layers: int = 0
@@ -429,7 +440,8 @@ class TransformerDecoder(nn.Module):
                 num_heads=self.num_heads, attn_name=self.attn_name,
                 attn_args=dict(self.attn_args), dropout=self.dropout,
                 normalize_before=self.normalize_before,
-                has_cross=self.has_cross, name=f"layer_{i}")
+                has_cross=self.has_cross, seq_axis=self.seq_axis,
+                name=f"layer_{i}")
             for i in range(self.num_layers)]
         if self.normalize_before and self.final_norm:
             self.final_ln = nn.LayerNorm(epsilon=1e-5)
@@ -480,8 +492,17 @@ class TransformerDecoder(nn.Module):
 
     def __call__(self, prev_output_tokens, enc_out=None, enc_padding_mask=None,
                  deterministic=True, features_only=False):
-        padding_mask = prev_output_tokens == self.pad_idx
-        x = self._embed(prev_output_tokens)
+        if self.seq_axis is not None:
+            # sequence-parallel: LM token blocks are dense (TokenBlock
+            # packing), so no padding mask crosses shards; positions are
+            # offset by this shard's global token offset
+            padding_mask = None
+            offset = (jax.lax.axis_index(self.seq_axis)
+                      * prev_output_tokens.shape[1])
+            x = self._embed(prev_output_tokens, pos_offset=offset)
+        else:
+            padding_mask = prev_output_tokens == self.pad_idx
+            x = self._embed(prev_output_tokens)
         x = self.embed_dropout(x, deterministic=deterministic)
         bi = 0
         for j, layer in enumerate(self.layers):
@@ -609,6 +630,7 @@ class TransformerLM(nn.Module):
     adaptive_input: bool = False
     tie_adaptive: bool = True
     final_norm: bool = True
+    seq_axis: Optional[str] = None
     base_layers: int = 0
     base_experts: int = 0
     base_sublayers: int = 1
@@ -622,6 +644,7 @@ class TransformerLM(nn.Module):
             attn_args=dict(self.attn_args), dropout=self.dropout,
             max_len=self.max_len, pad_idx=self.pad_idx, has_cross=False,
             normalize_before=True, final_norm=self.final_norm,
+            seq_axis=self.seq_axis,
             adaptive_input_cutoffs=(tuple(self.adaptive_cutoffs)
                                     if self.adaptive_input else None),
             base_layers=self.base_layers,

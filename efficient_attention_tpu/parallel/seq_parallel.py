@@ -110,3 +110,76 @@ def causal_eva_attention_shard(
     ).astype(w_v.dtype)
     return (jnp.einsum("bhgij,bhgjd->bhgid", attn[..., :s], w_v)
             + jnp.einsum("bhgic,bhcd->bhgid", attn[..., s:], beta))
+
+
+def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
+                                    skip_nonfinite: bool = True):
+    """Jitted LM train step with the sequence dimension sharded over the
+    mesh's ``seq`` axis (and batch over ``data``).
+
+    The model must be built with ``seq_axis='seq'`` (causal-EVA decoder):
+    the whole forward/backward runs inside ``shard_map`` on local
+    ``[B/dp, T/sp]`` token shards — local windows never leave their shard,
+    the only attention collective is the tiny chunk-summary all-gather, and
+    gradients are psum'd across both axes.  This is the CLI surface for the
+    reference-absent sequence parallelism (SURVEY §2.3 item 7: the TPU
+    extension replacing ring attention).
+    """
+    import optax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from efficient_attention_tpu.training.train_state import (
+        StepMetrics,
+        apply_or_skip,
+    )
+
+    axes = ("data", "seq")
+
+    use_adaptive = getattr(model, "adaptive_cutoffs", None) is not None
+
+    def local_loss(params, tokens, targets, rng):
+        rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
+        mask = (targets != pad_idx).astype(jnp.float32)
+        if use_adaptive:
+            nll = model.apply(params, tokens, targets, deterministic=False,
+                              rngs=rngs, method="loss") * mask
+        else:
+            logits = model.apply(params, tokens, deterministic=False,
+                                 rngs=rngs)
+            nll = optax.softmax_cross_entropy_with_integer_labels(
+                logits, targets) * mask
+        loss_sum = jax.lax.psum(jnp.sum(nll), axes)
+        ntok = jax.lax.psum(jnp.sum(mask), axes)
+        return loss_sum / jnp.maximum(ntok, 1.0)
+
+    def sharded_grads(params, tokens, targets, rng):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, tokens, targets, rng)
+        # local_loss is already psum'd, but each shard's backward only sees
+        # its local contribution — sum them
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axes), grads)
+        return loss, grads
+
+    smapped = shard_map(
+        sharded_grads, mesh=mesh,
+        in_specs=(P(), P("data", "seq"), P("data", "seq"), P()),
+        out_specs=(P(), P()), check_rep=False)
+
+    def train_step(state, tokens, targets, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = smapped(state.params, tokens, targets, rng)
+        import optax as _optax
+
+        grad_norm = _optax.global_norm(grads)
+        if skip_nonfinite:
+            new_state, skipped = apply_or_skip(state, grads, loss, grad_norm)
+            return new_state, StepMetrics(loss, grad_norm, skipped)
+        return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", "seq"))
+    return jax.jit(train_step,
+                   in_shardings=(repl, data_sh, data_sh, None),
+                   out_shardings=(repl, None), donate_argnums=(0,))
