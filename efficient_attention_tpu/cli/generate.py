@@ -39,6 +39,13 @@ def parse_args(argv=None):
                              "input lines carry tab-separated constraint "
                              "phrases after the sentence "
                              "(fairseq --constraints)")
+    parser.add_argument("--bpe", default=None,
+                        help="raw-text BPE scheme for interactive input "
+                             "(subword_nmt; fairseq/data/encoders/)")
+    parser.add_argument("--bpe-codes", default=None,
+                        help="subword-nmt codes file")
+    parser.add_argument("--tokenizer", default=None,
+                        help="raw-text pre-tokenizer (space)")
     parser.add_argument("--results-path", default=None,
                         help="write fairseq-style S-/T-/H- generation output "
                              "(gen.out) here, consumable by "

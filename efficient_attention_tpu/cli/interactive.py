@@ -20,10 +20,33 @@ def cli_main(argv=None):
     from efficient_attention_tpu.generation import SequenceGenerator
     from efficient_attention_tpu.models.transformer import TransformerModel
 
+    from efficient_attention_tpu.data.encoders import (
+        build_bpe,
+        build_tokenizer,
+    )
+
     args = parse_args(argv)
     assert args.data, "interactive mode requires --data with dictionaries"
     sd = Dictionary.load(os.path.join(args.data, f"dict.{args.source_lang}.txt"))
     td = Dictionary.load(os.path.join(args.data, f"dict.{args.target_lang}.txt"))
+    # raw-text input path (fairseq_cli/interactive.py encode_fn): tokenizer
+    # then BPE before dictionary lookup, both reversed on output
+    bpe = build_bpe(args.bpe, getattr(args, "bpe_codes", None))
+    tokenizer = build_tokenizer(args.tokenizer)
+
+    def encode_fn(text):
+        if tokenizer is not None:
+            text = tokenizer.encode(text)
+        if bpe is not None:
+            text = bpe.encode(text)
+        return text
+
+    def decode_fn(text):
+        if bpe is not None:
+            text = bpe.decode(text)
+        if tokenizer is not None:
+            text = tokenizer.decode(text)
+        return text
     model = build_model(args, len(sd), len(td))
     dummy = jnp.zeros((1, 16), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy, dummy))()
@@ -44,7 +67,8 @@ def cli_main(argv=None):
                 for i, r in enumerate(rows):
                     arr[0, i, : len(r)] = r
                 constraints = jnp.asarray(arr)
-        src = collate_tokens([sd.encode_line(line)], pad_idx=sd.pad())
+        src = collate_tokens([sd.encode_line(encode_fn(line))],
+                             pad_idx=sd.pad())
         enc_out, enc_pad = model.apply(params, jnp.asarray(src),
                                        method=TransformerModel.encode)
         enc_out_k = jnp.repeat(enc_out, K, axis=0)
@@ -67,7 +91,7 @@ def cli_main(argv=None):
         eos_pos = np.where(hyp == td.eos())[0]
         if len(eos_pos):
             hyp = hyp[: eos_pos[0]]
-        print(f"H-{float(scores[0, 0]):.4f}\t{td.string(hyp)}")
+        print(f"H-{float(scores[0, 0]):.4f}\t{decode_fn(td.string(hyp))}")
         sys.stdout.flush()
 
 
