@@ -85,6 +85,22 @@ class EVA(LocalAttention):
     # 'packed'/'pallas'/'rowmajor' force a specific kernel (error if
     # unsupported); 'xla' forces the reference einsum path.
     impl: str = "auto"
+    # eval-path micro-kernel toggles — measured per-config on v5e
+    # (scripts/bench_eva_eval_paths.py): at the bench geometry BOTH default
+    # to OFF because XLA's producer fusions beat the extra custom-call
+    # boundaries (module 1.64 ms baseline vs 1.73 fused-out / 1.77 summary-
+    # kernel / 1.90 both).  They remain available for geometries where the
+    # strided-reduce summaries dominate
+    use_pallas_summaries: bool = False
+    fuse_output_proj: bool = False
+    # megakernel eval path: BOTH kernels read x (38.5MB at the bench
+    # geometry) instead of qkv (115MB) and recompute the projection on the
+    # MXU in-kernel (ops/pallas/eva_mega.py).  Measured SLOWER in-module on
+    # v5e (2.19 vs 1.64 ms/layer) despite moving ~4x fewer bytes — Pallas
+    # reads on this toolchain stream at ~1/4 of XLA's copy bandwidth, so
+    # the extra custom-call boundary + in-kernel projection lose to XLA's
+    # producer fusions; kept as a measured, parity-tested opt-in
+    use_megakernel: bool = False
 
     def setup(self):
         self._setup_projections()
@@ -120,6 +136,42 @@ class EVA(LocalAttention):
                 num_buckets=max(min((self.window_size + self.ext_size) // 2, 64), 16),
                 max_distance=self.window_size + self.ext_size,
             )
+
+    def _summaries_dispatch(self, qkv, seq_shape, rf_win_size,
+                            deterministic):
+        """Route chunk summaries to the fused Pallas kernel when possible.
+
+        The kernel (``ops/pallas/eva_summaries.py``) reads qkv ONCE at
+        streaming bandwidth where XLA's strided 6-D reductions ran at
+        ~140 GB/s effective (0.82 -> ~0.2 ms/layer at the bench geometry).
+        Eval-only: the training form's VJP needs the matmul formulation;
+        and during flax init the XLA path must run so the adaptive-proj
+        parameters are created.
+        """
+        gh, gw = seq_shape
+        if (deterministic and not self.is_initializing() and _on_tpu()
+                and self.use_pallas_summaries
+                and self.adaptive_proj in ("default", "no-ln")):
+            from efficient_attention_tpu.ops.pallas.eva_summaries import (
+                eva_summaries_packed,
+                supports_summaries,
+            )
+
+            if supports_summaries(qkv.shape[0], gh, gw, rf_win_size,
+                                  self.adaptive_proj):
+                pq = self.adaptive_mu_q.variables["params"]
+                pk = self.adaptive_mu_k.variables["params"]
+                use_ln = self.adaptive_proj == "default"
+                ln = (lambda p, k: p["layers_1"][k] if use_ln else None)
+                return eva_summaries_packed(
+                    qkv,
+                    pq["layers_0"]["kernel"], pq["layers_0"]["bias"],
+                    pk["layers_0"]["kernel"], pk["layers_0"]["bias"],
+                    ln(pq, "scale"), ln(pq, "bias"),
+                    ln(pk, "scale"), ln(pk, "bias"),
+                    nh=self.num_heads, gw=gw, j=rf_win_size, use_ln=use_ln)
+        return self._chunk_summaries_packed(
+            qkv, seq_shape, rf_win_size, deterministic)
 
     def _chunk_summaries_packed(self, qkv, seq_shape, rf_win_size,
                                 deterministic):
@@ -223,6 +275,41 @@ class EVA(LocalAttention):
         beta = (beta / denom[..., None]).astype(qkv.dtype)
         return (rf_k_bar.reshape(B, c, hd), beta.reshape(B, c, hd))
 
+    def _forward_mega(self, x, seq_shape, rf_win_size):
+        """Megakernel eval path (``ops/pallas/eva_mega.py``): summaries and
+        attention both consume x directly; qkv never lands in HBM."""
+        from efficient_attention_tpu.ops.pallas.eva_mega import (
+            eva_attention_from_x,
+            eva_summaries_from_x,
+        )
+
+        B = x.shape[0]
+        C = x.shape[-1]
+        gh, gw = seq_shape
+        N = gh * gw
+        xf = x.reshape(B, N, C)
+        qv = self.qkv.variables["params"]
+        b_qkv = qv.get("bias")
+        if b_qkv is None:
+            b_qkv = jnp.zeros((qv["kernel"].shape[1],), jnp.float32)
+        pq = self.adaptive_mu_q.variables["params"]
+        pk = self.adaptive_mu_k.variables["params"]
+        use_ln = self.adaptive_proj == "default"
+        ln = (lambda p, k: p["layers_1"][k] if use_ln else None)
+        rf_k_bar, beta = eva_summaries_from_x(
+            xf, qv["kernel"], b_qkv,
+            pq["layers_0"]["kernel"], pq["layers_0"]["bias"],
+            pk["layers_0"]["kernel"], pk["layers_0"]["bias"],
+            ln(pq, "scale"), ln(pq, "bias"), ln(pk, "scale"), ln(pk, "bias"),
+            nh=self.num_heads, gw=gw, j=rf_win_size, use_ln=use_ln)
+        pp = self.proj.variables["params"]
+        out = eva_attention_from_x(
+            xf, qv["kernel"], b_qkv, rf_k_bar, beta,
+            pp["kernel"], pp["bias"], self.scale, self.num_heads, gw,
+            self.window_size, bias=self._window_bias_general())
+        x = out.reshape((B,) + tuple(seq_shape) + (C,))
+        return self.proj_dropout(x, deterministic=True)
+
     def _forward_packed(self, x, seq_shape, rf_win_size, deterministic):
         """Zero-transpose EVA forward: LN'd tokens -> fused qkv projection ->
         packed Pallas kernel -> output projection, with no head transpose or
@@ -236,9 +323,23 @@ class EVA(LocalAttention):
         gh, gw = seq_shape
         N = gh * gw
         qkv = self.qkv(x.reshape(B, N, C))  # [B, N, 3*H*D]
-        rf_k_bar, beta = self._chunk_summaries_packed(
+        rf_k_bar, beta = self._summaries_dispatch(
             qkv, seq_shape, rf_win_size, deterministic)
         bias = self._window_bias_general()
+        if (deterministic and not self.is_initializing()
+                and self.fuse_output_proj):
+            # eval: the output projection is fused into the kernel so the
+            # intermediate [B, N, H*D] never round-trips HBM (no VJP needed)
+            from efficient_attention_tpu.ops.pallas.eva_packed import (
+                eva_attention_packed_out,
+            )
+
+            pp = self.proj.variables["params"]
+            out = eva_attention_packed_out(
+                qkv, rf_k_bar, beta, pp["kernel"], pp["bias"], self.scale,
+                self.num_heads, gw, self.window_size, bias=bias)
+            x = out.reshape((B,) + tuple(seq_shape) + (C,))
+            return self.proj_dropout(x, deterministic=deterministic)
         out = eva_attention_packed(
             qkv, rf_k_bar, beta, self.scale, self.num_heads, gw,
             self.window_size, bias=bias)
@@ -406,6 +507,16 @@ class EVA(LocalAttention):
             if (ws_ > 0 and gh % ws_ == 0 and gw % ws_ == 0 and chunk_ok
                     and supports_packed(B, N, gw, ws_,
                                         c=self.num_landmarks)):
+                from efficient_attention_tpu.ops.pallas.eva_summaries import (
+                    supports_summaries,
+                )
+
+                if (deterministic and not self.is_initializing()
+                        and self.use_megakernel
+                        and self.adaptive_proj in ("default", "no-ln")
+                        and supports_summaries(B, gh, gw, rf_win_size,
+                                               self.adaptive_proj)):
+                    return self._forward_mega(x, seq_shape, rf_win_size)
                 return self._forward_packed(
                     x, seq_shape, rf_win_size, deterministic)
             if self.impl == "packed":

@@ -119,6 +119,45 @@ def _lane_pad(nh: int, d: int, proj: int) -> int:
     return (proj * nh * d) % 128
 
 
+def _kernel_fused_out(qkv_ref, rf_ref, beta_ref, bias_ref, wo_ref, bo_ref,
+                      o_ref, *, scale: float, nh: int, d: int, tgs: int,
+                      c: int):
+    """Forward with the OUTPUT PROJECTION fused: identical attention math to
+    :func:`_kernel`, but the per-head outputs are concatenated in VMEM and
+    multiplied by the resident ``W_out [H*D, H*D]`` (+bias) before the
+    single strip write — the separate XLA projection's intermediate
+    [B, N, H*D] read+write never touches HBM.  Eval-only (the training
+    path keeps :func:`_kernel` + XLA projection so the registered VJP
+    stays valid)."""
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
+    outs = []
+    for h in range(nh):
+        qh = qkv_ref[:, 0, :, h * d:(h + 1) * d]
+        kh = qkv_ref[:, 0, :, (nh + h) * d:(nh + h + 1) * d]
+        vh = qkv_ref[:, 0, :, (2 * nh + h) * d:(2 * nh + h + 1) * d]
+        rfh = rf_ref[:, :, pk + h * d:pk + (h + 1) * d]
+        bth = beta_ref[:, :, pv + h * d:pv + (h + 1) * d]
+        keys = jnp.concatenate([kh, rfh.astype(kh.dtype)], axis=1)
+        vals = jnp.concatenate([vh, bth.astype(vh.dtype)], axis=1)
+        logits = jax.lax.dot_general(
+            qh, keys, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = logits + jnp.pad(bias_ref[h], ((0, 0), (0, c)))[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(vals.dtype), vals, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append((out / denom).astype(qkv_ref.dtype))
+    attn = jnp.concatenate(outs, axis=-1)            # [RB, TGS, H*D]
+    proj = jax.lax.dot_general(
+        attn, wo_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[...]
+    o_ref[:, 0, :, :] = proj.astype(o_ref.dtype)
+
+
 def _kernel(qkv_ref, rf_ref, beta_ref, bias_ref, o_ref,
             *, scale: float, nh: int, d: int, tgs: int, c: int):
     """One grid step: RB batch rows x TGS tokens, all heads in lanes.
@@ -203,6 +242,87 @@ def _fwd(qkv, rf_p, beta_p, bias_big, scale, nh, W, ws, interpret=False):
         interpret=interpret,
     )(qkv4, rf_in, bt_in, bias_big)
     return out.reshape(B, N, nh * d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "nh", "W", "ws", "interpret"))
+def _fwd_fused_out(qkv, rf_p, beta_p, bias_big, wo, bo, scale, nh, W, ws,
+                   interpret=False):
+    B, N, three_hd = qkv.shape
+    d = three_hd // (3 * nh)
+    C = rf_p.shape[1]
+    RB, TGS = _pick_rows(B, N, W, ws, C)
+    ns = N // TGS
+    qkv4 = qkv.reshape(B, ns, TGS, three_hd)
+    grid = (B // RB, ns)
+    qkv_spec = pl.BlockSpec((RB, 1, TGS, three_hd),
+                            lambda b, j: (b, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, TGS, TGS), lambda b, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RB, 1, TGS, nh * d), lambda b, j: (b, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    wo_spec = pl.BlockSpec((nh * d, nh * d), lambda b, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    bo_spec = pl.BlockSpec((nh * d,), lambda b, j: (0,),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_fused_out, scale=scale, nh=nh, d=d,
+                             tgs=TGS, c=C)
+    pk, pv = _lane_pad(nh, d, 1), _lane_pad(nh, d, 2)
+    rf_in = jnp.pad(rf_p, ((0, 0), (0, 0), (pk, 0))) if pk else rf_p
+    bt_in = jnp.pad(beta_p, ((0, 0), (0, 0), (pv, 0))) if pv else beta_p
+    rf_spec = pl.BlockSpec((RB, C, pk + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bt_spec = pl.BlockSpec((RB, C, pv + nh * d), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[qkv_spec, rf_spec, bt_spec, bias_spec, wo_spec, bo_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, ns, TGS, nh * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nh * N * (2 * (TGS + C) + nh * d) * d,
+            bytes_accessed=qkv.size * 2 + B * N * nh * d * 2,
+            transcendentals=B * nh * N * (TGS + C),
+        ),
+        interpret=interpret,
+    )(qkv4, rf_in, bt_in, bias_big, wo, bo)
+    return out.reshape(B, N, nh * d)
+
+
+def eva_attention_packed_out(
+    qkv: jax.Array,       # [B, N, 3*H*D] fused projection output
+    rf_k_bar: jax.Array,  # [B, C, H*D]
+    beta: jax.Array,      # [B, C, H*D]
+    wo: jax.Array,        # [H*D, H*D] output-projection weight
+    bo: jax.Array,        # [H*D]
+    scale: float,
+    num_heads: int,
+    W: int,
+    ws: int,
+    bias: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Eval-only fused forward incl. output projection; ``[B, N, H*D]``.
+
+    No VJP is registered — callers must gate on ``deterministic`` (the
+    training path uses :func:`eva_attention_packed` + an XLA projection).
+    """
+    B, N, three_hd = qkv.shape
+    nh = num_heads
+    C = rf_k_bar.shape[1]
+    _, TGS = _pick_rows(B, N, W, ws, C)
+    Rj, mask_add = _strip_maps(W, ws, TGS)
+    if bias is None:
+        bias_big = jnp.broadcast_to(mask_add, (nh, TGS, TGS))
+    else:
+        bias_big = _bias_to_token_coords(bias, Rj) + mask_add
+    return _fwd_fused_out(qkv, rf_k_bar, beta, bias_big,
+                          wo.astype(qkv.dtype), bo.astype(jnp.float32),
+                          float(scale), nh, W, ws, interpret=interpret)
 
 
 def _bwd_kernel(qkv_ref, rf_ref, beta_ref, bias_ref, g_ref,

@@ -595,3 +595,185 @@ class TestCausalPacked:
         x = jax.random.normal(rng, (2, 64, 128))
         with pytest.raises(ValueError, match="impl='packed'"):
             m.init({"params": rng}, x, deterministic=True)
+
+
+class TestEvaSummariesKernel:
+    """Fused chunk-summary kernel (ops/pallas/eva_summaries.py) vs the
+    module's XLA eval formulation, in interpreter mode."""
+
+    @pytest.mark.parametrize("adaptive_proj", ["default", "no-ln"])
+    @pytest.mark.parametrize("g,landmarks", [(8, 4), (12, 9)])
+    def test_matches_module_eval_form(self, rng, adaptive_proj, g, landmarks):
+        import math
+
+        from flax import linen as nn
+
+        from efficient_attention_tpu.attention import EVA
+        from efficient_attention_tpu.ops.pallas.eva_summaries import (
+            eva_summaries_packed,
+            supports_summaries,
+        )
+
+        Bp, dim, nh = 2, 48, 3
+        d = dim // nh
+        j = int(math.sqrt(g * g // landmarks))
+        x = jax.random.normal(rng, (Bp, g, g, dim))
+        m = EVA(dim=dim, num_heads=nh, window_size=4,
+                num_landmarks=landmarks, attn_2d=True,
+                adaptive_proj=adaptive_proj, impl="xla")
+        params = m.init(jax.random.PRNGKey(0), x, deterministic=True)
+        qkv = jax.random.normal(jax.random.PRNGKey(1),
+                                (Bp, g * g, 3 * dim))
+        assert supports_summaries(Bp, g, g, j, adaptive_proj)
+
+        def ref(mod, qkv):
+            return mod._chunk_summaries_packed(qkv, (g, g), j, True)
+
+        rf_ref, beta_ref = nn.apply(ref, m)(params, qkv)
+
+        pq = params["params"]["adaptive_mu_q"]
+        pk = params["params"]["adaptive_mu_k"]
+        use_ln = adaptive_proj == "default"
+        ln = (lambda p, k: p["layers_1"][k] if use_ln else None)
+        rf, beta = eva_summaries_packed(
+            qkv, pq["layers_0"]["kernel"], pq["layers_0"]["bias"],
+            pk["layers_0"]["kernel"], pk["layers_0"]["bias"],
+            ln(pq, "scale"), ln(pq, "bias"), ln(pk, "scale"), ln(pk, "bias"),
+            nh=nh, gw=g, j=j, use_ln=use_ln, interpret=True)
+        np.testing.assert_allclose(np.asarray(rf), np.asarray(rf_ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(beta), np.asarray(beta_ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_rectangular_grid(self, rng):
+        from flax import linen as nn
+
+        from efficient_attention_tpu.attention import EVA
+        from efficient_attention_tpu.ops.pallas.eva_summaries import (
+            eva_summaries_packed,
+        )
+
+        Bp, gh, gw, dim, nh, j = 2, 4, 8, 48, 3, 2
+        x = jax.random.normal(rng, (Bp, gh, gw, dim))
+        m = EVA(dim=dim, num_heads=nh, window_size=2, num_landmarks=8,
+                attn_2d=True, adaptive_proj="default", impl="xla")
+        params = m.init(jax.random.PRNGKey(0), x, deterministic=True)
+        qkv = jax.random.normal(jax.random.PRNGKey(1), (Bp, gh * gw, 3 * dim))
+
+        def ref(mod, qkv):
+            return mod._chunk_summaries_packed(qkv, (gh, gw), j, True)
+
+        rf_ref, beta_ref = nn.apply(ref, m)(params, qkv)
+        pq = params["params"]["adaptive_mu_q"]
+        pk = params["params"]["adaptive_mu_k"]
+        rf, beta = eva_summaries_packed(
+            qkv, pq["layers_0"]["kernel"], pq["layers_0"]["bias"],
+            pk["layers_0"]["kernel"], pk["layers_0"]["bias"],
+            pq["layers_1"]["scale"], pq["layers_1"]["bias"],
+            pk["layers_1"]["scale"], pk["layers_1"]["bias"],
+            nh=nh, gw=gw, j=j, use_ln=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(rf), np.asarray(rf_ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(beta), np.asarray(beta_ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestEvaPackedFusedOut:
+    """Eval-only fused-output-projection forward vs kernel + XLA proj."""
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_matches_unfused(self, rng, with_bias):
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            eva_attention_packed,
+            eva_attention_packed_out,
+        )
+
+        Bp, Wimg, ws, c, nh, d = 2, 8, 4, 4, 3, 16
+        hd = nh * d
+        N = Wimg * Wimg
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+        qkv = jax.random.normal(k1, (Bp, N, 3 * hd))
+        rf = jax.random.normal(k2, (Bp, c, hd))
+        beta = jax.random.normal(k3, (Bp, c, hd))
+        wo = jax.random.normal(k4, (hd, hd)) * 0.1
+        bo = jax.random.normal(k5, (hd,)) * 0.1
+        bias = (jax.random.normal(k6, (nh, ws * ws, ws * ws))
+                if with_bias else None)
+        scale = d ** -0.5
+        ref = eva_attention_packed(qkv, rf, beta, scale, nh, Wimg, ws,
+                                   bias=bias, interpret=True) @ wo + bo
+        out = eva_attention_packed_out(qkv, rf, beta, wo, bo, scale, nh,
+                                       Wimg, ws, bias=bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestEvaMegaKernels:
+    """Megakernel eval path (ops/pallas/eva_mega.py): x-consuming summaries
+    and attention kernels match the qkv-consuming formulations."""
+
+    def _setup(self, rng):
+        Bp, g, dim, nh = 2, 8, 48, 3
+        j = 2  # 16 landmarks on an 8x8 grid
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (Bp, g * g, dim))
+        wqkv = jax.random.normal(k2, (dim, 3 * dim)) * 0.1
+        bqkv = jnp.linspace(-0.1, 0.1, 3 * dim)
+        return Bp, g, dim, nh, j, x, wqkv, bqkv
+
+    def test_summaries_match_qkv_form(self, rng):
+        from efficient_attention_tpu.ops.pallas.eva_mega import (
+            eva_summaries_from_x,
+        )
+        from efficient_attention_tpu.ops.pallas.eva_summaries import (
+            eva_summaries_packed,
+        )
+
+        Bp, g, dim, nh, j, x, wqkv, bqkv = self._setup(rng)
+        d = dim // nh
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        wq = jax.random.normal(ks[0], (d, d)) * 0.2
+        bq = jax.random.normal(ks[1], (d,)) * 0.1
+        wk = jax.random.normal(ks[2], (d, d)) * 0.2
+        bk = jax.random.normal(ks[3], (d,)) * 0.1
+        lnp = [jnp.ones((d,)), jnp.zeros((d,))] * 2
+        qkv = x @ wqkv + bqkv
+        rf_ref, bt_ref = eva_summaries_packed(
+            qkv, wq, bq, wk, bk, *lnp, nh=nh, gw=g, j=j, use_ln=True,
+            interpret=True)
+        rf, bt = eva_summaries_from_x(
+            x, wqkv, bqkv, wq, bq, wk, bk, *lnp, nh=nh, gw=g, j=j,
+            use_ln=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(rf), np.asarray(rf_ref),
+                                   atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(bt), np.asarray(bt_ref),
+                                   atol=3e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_attention_matches_qkv_form(self, rng, with_bias):
+        from efficient_attention_tpu.ops.pallas.eva_mega import (
+            eva_attention_from_x,
+        )
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            eva_attention_packed,
+        )
+
+        Bp, g, dim, nh, j, x, wqkv, bqkv = self._setup(rng)
+        d = dim // nh
+        ws = 4
+        C = 16
+        ks = jax.random.split(jax.random.PRNGKey(7), 5)
+        rf = jax.random.normal(ks[0], (Bp, C, dim))
+        bt = jax.random.normal(ks[1], (Bp, C, dim))
+        wo = jax.random.normal(ks[2], (dim, dim)) * 0.1
+        bo = jax.random.normal(ks[3], (dim,)) * 0.1
+        bias = (jax.random.normal(ks[4], (nh, ws * ws, ws * ws))
+                if with_bias else None)
+        scale = d ** -0.5
+        qkv = x @ wqkv + bqkv
+        ref = eva_attention_packed(qkv, rf, bt, scale, nh, g, ws,
+                                   bias=bias, interpret=True) @ wo + bo
+        out = eva_attention_from_x(x, wqkv, bqkv, rf, bt, wo, bo, scale,
+                                   nh, g, ws, bias=bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
