@@ -638,6 +638,44 @@ class EVA(LocalAttention):
                 x = self.proj(x)
                 return self.proj_dropout(x, deterministic=deterministic)
 
+        # ---- 1-D kernel path: overlapping halo windows + key-padding
+        # masks (the WMT encoder configuration — ops/pallas/eva_1d.py).
+        # Eval-only; handles halos and masks the 2-D kernels cannot. ----
+        if (not self.attn_2d and ws > 0 and deterministic
+                and self.impl in ("auto", "packed")
+                and self.attn_drop == 0.0 and _on_tpu()
+                and not self.is_initializing()):
+            from efficient_attention_tpu.ops.pallas.eva_1d import (
+                eva_attention_1d,
+                supports_1d,
+            )
+
+            if supports_1d(B, N, ws, rf_k_bar.shape[-2]):
+                hd = self.num_heads * self.head_dim
+
+                def pack(t):  # [b, h, n, d] -> [b, n, h*d]
+                    return jnp.swapaxes(t, 1, 2).reshape(B, N, hd)
+
+                qkv_p = jnp.concatenate([pack(q), pack(k), pack(v)], -1)
+                rf_p = jnp.swapaxes(rf_k_bar, 1, 2).reshape(
+                    B, rf_k_bar.shape[2], hd)
+                bt_p = jnp.swapaxes(beta, 1, 2).reshape(
+                    B, beta.shape[2], hd)
+                bias1d = None
+                if self.use_t5_rpe:
+                    bias1d = self.rel_pos_bias(
+                        ws, ws + 2 * self.ext_size)[0, :, 0]
+                elif self.rpe_enabled:
+                    # 1-D learned table is already [H, ws, ws + 2*ext]
+                    bias1d = self.local_relative_position_bias_table
+                out = eva_attention_1d(
+                    qkv_p, rf_p, bt_p,
+                    None if padding_free else key_padding_mask,
+                    self.scale, self.num_heads, ws, self.ext_size,
+                    bias=bias1d, n_orig=N)
+                x = self.proj(out)[:, :orig_n]
+                return self.proj_dropout(x, deterministic=deterministic)
+
         w_q = self.window_partition(q, seq_shape, ext_window_size=0)
         w_k = self.window_partition(k, seq_shape, ext_window_size=self.ext_size)
         w_v = self.window_partition(v, seq_shape, ext_window_size=self.ext_size)

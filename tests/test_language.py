@@ -337,3 +337,77 @@ class TestNgramBlocking:
         row = np.asarray(tokens[0, 0])
         tris = [tuple(row[i:i + 3]) for i in range(1, len(row) - 2)]
         assert tris.count((3, 4, 5)) >= 2
+
+
+class TestChunkedAdaptiveNLL:
+    """Streaming-vocab adaptive NLL (memory-efficient CE): matches the
+    dense log_prob-derived NLL exactly, including across chunk boundaries
+    and in gradients."""
+
+    def test_helper_matches_dense(self, rng):
+        from efficient_attention_tpu.models.adaptive_softmax import (
+            _chunked_lse_and_target,
+        )
+
+        k1, k2 = jax.random.split(rng)
+        h = jax.random.normal(k1, (4, 7, 16))
+        w = jax.random.normal(k2, (100, 16))
+        tgt = jnp.asarray(np.random.default_rng(0).integers(0, 100, (4, 7)))
+        lse, t = _chunked_lse_and_target(h, w, tgt, chunk_size=17)
+        logits = h @ w.T
+        np.testing.assert_allclose(np.asarray(lse),
+                                   np.asarray(jax.nn.logsumexp(logits, -1)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(t),
+            np.asarray(jnp.take_along_axis(
+                logits, tgt[..., None], -1)[..., 0]), rtol=1e-5)
+
+        # gradients flow and match the dense formulation
+        def loss_chunked(w):
+            lse, t = _chunked_lse_and_target(h, w, tgt, chunk_size=17)
+            return jnp.sum(lse - t)
+
+        def loss_dense(w):
+            lg = h @ w.T
+            return jnp.sum(jax.nn.logsumexp(lg, -1) - jnp.take_along_axis(
+                lg, tgt[..., None], -1)[..., 0])
+
+        g1 = jax.grad(loss_chunked)(w)
+        g2 = jax.grad(loss_dense)(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_module_nll_matches_log_prob(self, rng):
+        from efficient_attention_tpu.models.adaptive_softmax import (
+            AdaptiveSoftmax,
+        )
+
+        m = AdaptiveSoftmax(vocab_size=100, input_dim=16, cutoffs=(30, 60))
+        x = jax.random.normal(rng, (2, 5, 16))
+        tgt = jnp.asarray(np.random.default_rng(1).integers(0, 100, (2, 5)))
+        params = m.init(jax.random.PRNGKey(0), x, tgt, method="nll")
+        nll = m.apply(params, x, tgt, method="nll")
+        lp = m.apply(params, x, method="log_prob")
+        want = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        np.testing.assert_allclose(np.asarray(nll), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_tied_module_nll_matches_log_prob(self, rng):
+        from efficient_attention_tpu.models.transformer import TransformerLM
+
+        m = TransformerLM(vocab_size=100, embed_dim=32, ffn_dim=64,
+                          num_layers=1, num_heads=2,
+                          adaptive_cutoffs=(30, 60), adaptive_input=True,
+                          tie_adaptive=True, final_norm=False, dropout=0.0,
+                          max_len=16)
+        toks = jnp.asarray(
+            np.random.default_rng(2).integers(2, 100, (2, 8)), jnp.int32)
+        tgt = jnp.asarray(
+            np.random.default_rng(3).integers(2, 100, (2, 8)), jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), toks)
+        nll = m.apply(params, toks, tgt, method="loss")
+        lp = m.apply(params, toks)
+        want = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        np.testing.assert_allclose(np.asarray(nll), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
