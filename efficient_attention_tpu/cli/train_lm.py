@@ -48,6 +48,15 @@ def build_parser():
     p.add_argument("--criterion", default="adaptive_loss",
                    choices=["adaptive_loss", "cross_entropy"])
     p.add_argument("--adaptive-cutoffs", default="20000,60000")
+    p.add_argument("--adaptive-input", action="store_true",
+                   help="adaptive input embeddings (wiki103 recipe, "
+                        "fairseq --adaptive-input)")
+    p.add_argument("--tie-adaptive-weights", action="store_true",
+                   help="tie the adaptive softmax to the adaptive input "
+                        "(fairseq --tie-adaptive-weights + "
+                        "--tie-adaptive-proj, the published wiki103 config)")
+    p.add_argument("--no-decoder-final-norm", action="store_true",
+                   help="drop the final decoder LayerNorm (wiki103 arch)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--save-dir", default="./checkpoints/lm")
     p.add_argument("--save-interval-updates", type=int, default=1000)
@@ -156,6 +165,10 @@ def build_model(args, vocab_size, seq_axis=None):
         dropout=args.dropout,
         max_len=args.max_len,
         adaptive_cutoffs=cutoffs,
+        adaptive_input=bool(getattr(args, "adaptive_input", False)
+                            and cutoffs),
+        tie_adaptive=bool(getattr(args, "tie_adaptive_weights", False)),
+        final_norm=not getattr(args, "no_decoder_final_norm", False),
         seq_axis=seq_axis,
         base_layers=getattr(args, "base_layers", 0),
         base_experts=base_experts,

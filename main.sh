@@ -62,6 +62,7 @@ case "$DATASET" in
         --decoder-attn-causal \
         --decoder-layers 16 --decoder-embed-dim 1024 \
         --decoder-ffn-embed-dim 4096 \
+        --adaptive-input --tie-adaptive-weights --no-decoder-final-norm \
         --optimizer nag --lr 1.0 --lr-scheduler cosine --t-mult 2 \
         --lr-period-updates 270000 --max-update 286000 \
         --tokens-per-sample 512 --max-tokens 9216 \
