@@ -139,14 +139,15 @@ class EVA(LocalAttention):
 
     def _summaries_dispatch(self, qkv, seq_shape, rf_win_size,
                             deterministic):
-        """Route chunk summaries to the fused Pallas kernel when possible.
+        """Route chunk summaries to the Pallas kernel when enabled.
 
-        The kernel (``ops/pallas/eva_summaries.py``) reads qkv ONCE at
-        streaming bandwidth where XLA's strided 6-D reductions ran at
-        ~140 GB/s effective (0.82 -> ~0.2 ms/layer at the bench geometry).
-        Eval-only: the training form's VJP needs the matmul formulation;
-        and during flax init the XLA path must run so the adaptive-proj
-        parameters are created.
+        The kernel (``ops/pallas/eva_summaries.py``) reads qkv once where
+        XLA's strided 6-D reductions re-read it — but measured IN-MODULE it
+        is slightly slower than XLA's fused form at the bench geometry
+        (see the class toggle comments), so it is opt-in.  Eval-only: the
+        training form's VJP needs the matmul formulation; and during flax
+        init the XLA path must run so the adaptive-proj parameters are
+        created.
         """
         gh, gw = seq_shape
         if (deterministic and not self.is_initializing() and _on_tpu()
