@@ -131,15 +131,18 @@ def _kernel(prev_ref, cur_ref, next_ref, mprev_ref, mcur_ref, mnext_ref,
         o_ref[:, 0, :, h * d:(h + 1) * d] = (out / denom).astype(o_ref.dtype)
 
 
-def supports_1d(B: int, N: int, ws: int, c: int) -> bool:
-    if ws <= 0:
-        return False
+def _pick_rb(B: int, N: int, ws: int, c: int) -> Optional[int]:
+    """Batch rows per step under the fp32-logits VMEM budget."""
     tgs = _pick_tgs(N, ws)
     cols = tgs + ws + max(c, 128)
     for rb in (8, 4, 2, 1):
         if B % rb == 0 and rb * tgs * cols * 4 <= 3_200_000:
-            return True
-    return False
+            return rb
+    return None
+
+
+def supports_1d(B: int, N: int, ws: int, c: int) -> bool:
+    return ws > 0 and _pick_rb(B, N, ws, c) is not None
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -172,7 +175,7 @@ def eva_attention_1d(
                                    constant_values=True)
     Np = N + pad_n
     ns = Np // tgs
-    rb = next(r for r in (8, 4, 2, 1) if B % r == 0)
+    rb = _pick_rb(B, N, ws, C)
     qkv4 = qkv.reshape(B, ns, tgs, three_hd)
     maskf = key_padding_mask.astype(jnp.float32).reshape(B, ns, tgs)
 
