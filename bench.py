@@ -334,6 +334,44 @@ def main():
                  "softmax_ms_per_token": round(dec_sm, 3),
                  "speedup": round(dec_sm / dec_eva, 3)}
 
+    # WMT encoder module (the MT vertical's hot path): 1-D EVA with
+    # overlap-window halo + t5-rpe + key-padding masks at the recipe shape.
+    # Round 3's eva_1d kernel is the first kernel able to engage here
+    # (earlier gates required 2-D/no-halo/no-mask).
+    def wmt_encoder_ms(attn_name, impl="auto"):
+        import numpy as _np
+
+        Bw, Nw, Dw, Hw = 128, 64, 512, 8
+        if attn_name == "eva":
+            margs = {"dim": Dw, "num_heads": Hw, "window_size": 8,
+                     "num_landmarks": 8, "attn_2d": False,
+                     "overlap_window": True, "use_t5_rpe": True,
+                     "use_rpe": False, "adaptive_proj": "no-ln",
+                     "impl": impl}
+        else:
+            margs = {"dim": Dw, "num_heads": Hw}
+        m = AttentionFactory.build_attention(attn_name, margs)
+        xw = jnp.ones((Bw, Nw, Dw), jnp.bfloat16)
+        kpm = jnp.asarray(_np.arange(Nw)[None] >= _np.full((Bw, 1), Nw - 7))
+        params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), xw,
+                                        deterministic=True))()
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), params)
+
+        def fwd(xw, params):
+            return m.apply(params, xw, key_padding_mask=kpm,
+                           deterministic=True).astype(xw.dtype)
+
+        return _slope_time_ms(fwd, xw, params)
+
+    wmt_kern = wmt_encoder_ms("eva", "auto")
+    wmt_xla = wmt_encoder_ms("eva", "xla")
+    wmt_enc = {"eva_kernel_ms_per_layer": round(wmt_kern, 3),
+               "eva_xla_ms_per_layer": round(wmt_xla, 3),
+               "kernel_vs_xla": round(wmt_xla / wmt_kern, 3),
+               "note": ("1-D halo'd+masked kernel (ops/pallas/eva_1d.py) "
+                        "engages on the WMT recipe config")}
+
     # PVTv2 multi-scale tracked config (stages at seq 3136/784/196/49)
     def pvt_ips(attn_name):
         attn_args = dict(EVA_ARGS, impl="auto") if attn_name == "eva" else {}
@@ -401,6 +439,7 @@ def main():
             "lm_train_step": lm_train,
             "lm_train_step_t512_recipe": lm_train_t512,
             "lm_decode_step": lm_decode,
+            "wmt_encoder_module": wmt_enc,
             "pvt_nano": pvt,
             "roofline": roofline,
             "device": str(jax.devices()[0]),

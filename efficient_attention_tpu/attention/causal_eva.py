@@ -322,11 +322,13 @@ class CausalEVAttention(nn.Module):
             )
 
             if (had_mask or self.ext_size != 0 or not self.causal
-                    or N != tgt_len or N % self.window_size != 0):
+                    or N != tgt_len or N % self.window_size != 0
+                    or self.chunk_size is None):
                 raise ValueError(
                     "seq_axis requires causal mode, no overlap halo, no "
-                    "padding mask, and shard length a multiple of "
-                    "window_size")
+                    "padding mask, a fixed chunk_size (num_chunks would "
+                    "derive from the LOCAL shard length), and shard length "
+                    "a multiple of window_size")
             bias = self._t5_bias(self.window_size, self.window_size)
             out = causal_eva_attention_shard(
                 w_q, w_k, w_v, rf_k_bar, beta, self.scaling,

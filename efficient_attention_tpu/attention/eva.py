@@ -93,6 +93,15 @@ class EVA(LocalAttention):
     # strided-reduce summaries dominate
     use_pallas_summaries: bool = False
     fuse_output_proj: bool = False
+    # sequence/context parallelism (mesh axis name): run inside shard_map
+    # with tokens sharded along that axis — local windows stay on-shard and
+    # only the tiny [c, d] chunk summaries are all-gathered
+    # (parallel/seq_parallel.py).  Non-causal EVA has NO position-dependent
+    # state (window RPE is window-local, every chunk is visible to every
+    # query), so the shard computation is exactly a slice of the global one.
+    # Requires: no halo, no padding mask, shard grid divisible by window
+    # and chunk sizes
+    seq_axis: Optional[str] = None
     # megakernel eval path: BOTH kernels read x (38.5MB at the bench
     # geometry) instead of qkv (115MB) and recompute the projection on the
     # MXU in-kernel (ops/pallas/eva_mega.py).  Measured SLOWER in-module on
@@ -477,10 +486,16 @@ class EVA(LocalAttention):
 
         padding_free = key_padding_mask is None
 
+        # num_landmarks is a GLOBAL budget: under sequence parallelism the
+        # module sees only its shard, so the chunk size derives from the
+        # global length (axis sizes are static inside shard_map)
+        n_global = N
+        if self.seq_axis is not None:
+            n_global = N * jax.lax.axis_size(self.seq_axis)
         if self.attn_2d:
-            rf_win_size = int(math.sqrt(N // self.num_landmarks))
+            rf_win_size = int(math.sqrt(n_global // self.num_landmarks))
         else:
-            rf_win_size = int(N // self.num_landmarks)
+            rf_win_size = int(n_global // self.num_landmarks)
         if rf_win_size == 0:
             raise ValueError(
                 f"num_landmarks={self.num_landmarks} exceeds the "
@@ -494,6 +509,7 @@ class EVA(LocalAttention):
                 and padding_free
                 and self.ext_size == 0
                 and self.attn_drop == 0.0
+                and self.seq_axis is None
                 and _on_tpu()):
             from efficient_attention_tpu.ops.pallas.eva_packed import (
                 supports_packed,
@@ -560,7 +576,29 @@ class EVA(LocalAttention):
             # all-False mask (``eva.py:150-196``).
             rf_k_bar, beta = self._chunk_summaries_natural(
                 q, k, v, seq_shape, rf_win_size, deterministic)
+            if self.seq_axis is not None:
+                # ---- sequence-parallel joint softmax (inside shard_map):
+                # local windows + gathered chunk summaries ----
+                from efficient_attention_tpu.parallel.seq_parallel import (
+                    eva_joint_attention_shard,
+                )
+
+                w_q = self.window_partition(q, seq_shape, ext_window_size=0)
+                w_k = self.window_partition(k, seq_shape, ext_window_size=0)
+                w_v = self.window_partition(v, seq_shape, ext_window_size=0)
+                out = eva_joint_attention_shard(
+                    w_q, w_k, w_v, rf_k_bar, beta, self.scale,
+                    self.seq_axis, bias=self._window_bias_general())
+                out = self.window_merge(out, seq_shape)
+                xo = jnp.swapaxes(out, 1, 2).reshape(
+                    (B,) + tuple(seq_shape) + (C,))
+                xo = self.proj(xo)
+                return self.proj_dropout(xo, deterministic=deterministic)
         else:
+            if self.seq_axis is not None:
+                raise ValueError(
+                    "EVA seq_axis requires no padding mask and no overlap "
+                    "halo (windows must not straddle sequence shards)")
             if key_padding_mask is None:
                 key_padding_mask = jnp.zeros((B, N), dtype=bool)
             kpm = key_padding_mask.astype(q.dtype)[:, None, :, None]
@@ -613,6 +651,7 @@ class EVA(LocalAttention):
             and self.ext_size == 0
             and padding_free
             and self.attn_drop == 0.0
+            and self.seq_axis is None
             and _on_tpu()
         )
         ws = self.window_size
@@ -645,6 +684,7 @@ class EVA(LocalAttention):
         if (not self.attn_2d and ws > 0 and deterministic
                 and self.impl in ("auto", "packed")
                 and self.attn_drop == 0.0 and _on_tpu()
+                and self.seq_axis is None
                 and not self.is_initializing()):
             from efficient_attention_tpu.ops.pallas.eva_1d import (
                 eva_attention_1d,

@@ -432,3 +432,54 @@ class TestSeqParallelModule:
             "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "1",
             "--save-dir", str(tmp_path / "pp"), "--log-interval", "2"])
         assert np.isfinite(stats["loss"])
+
+
+class TestSeqParallelEVA:
+    """Non-causal EVA module under sequence parallelism: sharding the token
+    grid rows over 'seq' and all-gathering only the chunk summaries equals
+    the unsharded module exactly (the vision-side SP routing)."""
+
+    def test_module_forward_matches_unsharded(self):
+        from jax.experimental.shard_map import shard_map
+
+        from efficient_attention_tpu.attention import EVA
+
+        g, dim, nh = 8, 48, 3
+        kw = dict(dim=dim, num_heads=nh, window_size=2, num_landmarks=16,
+                  attn_2d=True, use_rpe=True, adaptive_proj="default",
+                  impl="xla")
+        m_ref = EVA(**kw)
+        m_sp = EVA(**kw, seq_axis="seq")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, g, g, dim))
+        params = m_ref.init(jax.random.PRNGKey(1), x, deterministic=True)
+        ref = m_ref.apply(params, x, deterministic=True)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        fn = shard_map(
+            lambda p, t: m_sp.apply(p, t, deterministic=True),
+            mesh=mesh, in_specs=(P(), P(None, "seq")),
+            out_specs=P(None, "seq"), check_rep=False)
+        out = fn(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_seq_axis_rejects_halo(self):
+        from jax.experimental.shard_map import shard_map
+
+        from efficient_attention_tpu.attention import EVA
+
+        m = EVA(dim=48, num_heads=3, window_size=2, num_landmarks=4,
+                attn_2d=False, overlap_window=True, adaptive_proj="no-ln",
+                use_rpe=False, seq_axis="seq", impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 48))
+        params = EVA(dim=48, num_heads=3, window_size=2, num_landmarks=4,
+                     attn_2d=False, overlap_window=True,
+                     adaptive_proj="no-ln", use_rpe=False,
+                     impl="xla").init(jax.random.PRNGKey(1), x,
+                                      deterministic=True)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+        fn = shard_map(lambda p, t: m.apply(p, t, deterministic=True),
+                       mesh=mesh, in_specs=(P(), P(None, "seq")),
+                       out_specs=P(None, "seq"), check_rep=False)
+        with pytest.raises(ValueError, match="halo"):
+            fn(params, x)
