@@ -61,16 +61,13 @@ def main(args) -> dict:
     dummy = jnp.zeros((1, args.tokens_per_sample), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy))()
     if args.checkpoint:
-        # template must mirror the training optimizer's state structure
-        tx = make_optimizer(args.optimizer, lambda s: 1e-4,
-                            clip_grad=args.clip_norm, weight_decay=0.0,
-                            params_for_mask=params)
-        template = TrainState.create(model.apply, params, tx)
+        # params-only restore: eval doesn't know (or need) the training
+        # optimizer's state structure
         mgr = CheckpointManager(os.path.abspath(args.checkpoint))
-        restored = mgr.restore(template)
+        restored = mgr.restore_params()
         if restored is not None:
-            params = restored.params
-            print(f"| loaded checkpoint step {int(restored.step)}")
+            step_loaded, params = restored
+            print(f"| loaded checkpoint step {int(step_loaded)}")
 
     eval_step = jax.jit(
         make_lm_eval_step(use_adaptive=model.adaptive_cutoffs is not None),

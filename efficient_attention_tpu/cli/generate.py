@@ -79,10 +79,6 @@ def load_params(args, model, template_params):
 
     if not args.path:
         return template_params
-    tx = make_optimizer(args.optimizer, lambda s: 1e-4, weight_decay=0.0,
-                        clip_grad=args.clip_norm or None,
-                        params_for_mask=template_params)
-    template = TrainState.create(model.apply, template_params, tx)
     mgr = CheckpointManager(os.path.abspath(args.path))
     steps = sorted(mgr.manager.all_steps())
     if not steps:
@@ -90,8 +86,10 @@ def load_params(args, model, template_params):
     take = steps[-args.num_avg_checkpoints:]
     param_sets = []
     for s in take:
-        restored = mgr.restore(template, step=s)
-        param_sets.append(jax.device_get(restored.params))
+        # params-only restore: inference doesn't know the training
+        # optimizer's state structure
+        _, p = mgr.restore_params(step=s)
+        param_sets.append(jax.device_get(p))
     print(f"| averaged {len(param_sets)} checkpoints: {take}")
     if len(param_sets) == 1:
         return param_sets[0]

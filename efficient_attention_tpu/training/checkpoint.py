@@ -57,6 +57,23 @@ class CheckpointManager:
         return self.manager.restore(
             step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_params(self, step: Optional[int] = None):
+        """Restore ONLY the model parameters, ignoring optimizer state.
+
+        Inference CLIs (eval_lm/generate) don't know the training
+        optimizer, so a full-TrainState template would impose the wrong
+        opt_state structure; the raw restore sidesteps the template
+        entirely (fairseq likewise loads just ``state['model']`` at
+        inference).  Returns ``(step, params)`` or ``None``.
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        raw = self.manager.restore(step)
+        params = raw["params"] if isinstance(raw, dict) and "params" in raw \
+            else raw
+        return step, params
+
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
