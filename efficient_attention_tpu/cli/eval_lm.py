@@ -52,9 +52,8 @@ def main(args) -> dict:
     from efficient_attention_tpu.data.lm_context_window import (
         context_window_blocks,
     )
-    from efficient_attention_tpu.training import CheckpointManager, TrainState
+    from efficient_attention_tpu.training import CheckpointManager
     from efficient_attention_tpu.training.lm_steps import make_lm_eval_step
-    from efficient_attention_tpu.training.optim import make_optimizer
 
     tokens, dictionary, vocab_size = load_eval_corpus(args)
     model = build_model(args, vocab_size)

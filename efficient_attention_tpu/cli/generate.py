@@ -72,9 +72,7 @@ def load_params(args, model, template_params):
 
     from efficient_attention_tpu.training import (
         CheckpointManager,
-        TrainState,
         average_checkpoints,
-        make_optimizer,
     )
 
     if not args.path:
