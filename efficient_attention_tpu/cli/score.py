@@ -10,7 +10,21 @@ def cli_main(argv=None):
     p.add_argument("--sys", "-s", required=True, help="system output file")
     p.add_argument("--ref", "-r", required=True, help="reference file")
     p.add_argument("--order", type=int, default=4)
+    p.add_argument("--metric", default="bleu",
+                   choices=["bleu", "chrf", "wer"],
+                   help="scorer (fairseq/scoring/ registry)")
     args = p.parse_args(argv)
+
+    if args.metric != "bleu":
+        from efficient_attention_tpu.scoring import build_scorer
+
+        scorer = build_scorer(args.metric)
+        with open(args.sys, encoding="utf-8") as fs, \
+                open(args.ref, encoding="utf-8") as fr:
+            for hyp, ref in zip(fs, fr):
+                scorer.add_string(ref.rstrip("\n"), hyp.rstrip("\n"))
+        print(scorer.result_string())
+        return scorer.score()
 
     from efficient_attention_tpu.scoring.bleu import BleuScorer
 

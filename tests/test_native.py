@@ -177,3 +177,66 @@ class TestAlignmentTrain:
             lambda x: expected_alignment_from_p_choose(x).sum())(p)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestScorers:
+    """chrF and WER scorers (fairseq/scoring/{chrf,wer}.py equivalents;
+    hand-computed statistics)."""
+
+    def test_chrf_identical_is_100(self):
+        from efficient_attention_tpu.scoring import ChrFScorer
+
+        s = ChrFScorer()
+        s.add_string("the quick brown fox", "the quick brown fox")
+        assert abs(s.score() - 100.0) < 1e-9
+
+    def test_chrf_hand_computed(self):
+        # ref 'abcd', hyp 'abcx' (whitespace-free char ngrams):
+        # n=1: match 3/4 -> F=0.75; n=2: 2/3; n=3: 1/2; n=4: 0;
+        # n=5,6: no ngrams (skipped) -> chrF = 100 * mean(.75, 2/3, .5, 0)
+        from efficient_attention_tpu.scoring import ChrFScorer
+
+        s = ChrFScorer()
+        s.add_string("abcd", "abcx")
+        want = 100.0 * (0.75 + 2.0 / 3.0 + 0.5 + 0.0) / 4.0
+        assert abs(s.score() - want) < 1e-9
+
+    def test_chrf_removes_whitespace(self):
+        from efficient_attention_tpu.scoring import ChrFScorer
+
+        a, b = ChrFScorer(), ChrFScorer()
+        a.add_string("ab cd", "ab cd")
+        b.add_string("abcd", "abcd")
+        assert abs(a.score() - b.score()) < 1e-9  # 100 both
+
+    def test_wer_hand_computed(self):
+        from efficient_attention_tpu.scoring import WerScorer
+
+        s = WerScorer()
+        # 1 substitution over 4 reference words -> 25%
+        s.add_string("the cat sat down", "the dog sat down")
+        assert abs(s.score() - 25.0) < 1e-9
+        # plus 1 deletion over 2 more words -> (1+1)/6
+        s.add_string("hello world", "world")
+        assert abs(s.score() - 100.0 * 2 / 6) < 1e-9
+
+    def test_score_cli_metrics(self, tmp_path):
+        from efficient_attention_tpu.cli.score import cli_main
+
+        (tmp_path / "sys.txt").write_text("the cat sat on the mat\n",
+                                          encoding="utf-8")
+        (tmp_path / "ref.txt").write_text("the cat sat on the mat\n",
+                                          encoding="utf-8")
+        args = ["--sys", str(tmp_path / "sys.txt"),
+                "--ref", str(tmp_path / "ref.txt")]
+        assert abs(cli_main(args + ["--metric", "chrf"]) - 100.0) < 1e-9
+        assert cli_main(args + ["--metric", "wer"]) == 0.0
+        assert abs(cli_main(args) - 100.0) < 1e-6  # bleu default
+
+    def test_registry_unknown(self):
+        import pytest as _pytest
+
+        from efficient_attention_tpu.scoring import build_scorer
+
+        with _pytest.raises(KeyError):
+            build_scorer("meteor")
