@@ -342,11 +342,9 @@ def main(args) -> dict:
             make_seq_parallel_lm_train_step,
         )
 
-        if args.update_freq != 1:
-            raise NotImplementedError(
-                "--seq-parallel does not compose with --update-freq yet")
         sp_model = build_model(args, vocab_size, seq_axis="seq")
-        jit_step = make_seq_parallel_lm_train_step(mesh, sp_model, pad_idx=1)
+        jit_step = make_seq_parallel_lm_train_step(
+            mesh, sp_model, pad_idx=1, accum_steps=args.update_freq)
     else:
         train_step = make_lm_train_step(
             pad_idx=1, accum_steps=args.update_freq,

@@ -113,7 +113,8 @@ def causal_eva_attention_shard(
 
 
 def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
-                                    skip_nonfinite: bool = True):
+                                    skip_nonfinite: bool = True,
+                                    accum_steps: int = 1):
     """Jitted LM train step with the sequence dimension sharded over the
     mesh's ``seq`` axis (and batch over ``data``).
 
@@ -169,7 +170,30 @@ def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
 
     def train_step(state, tokens, targets, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = smapped(state.params, tokens, targets, rng)
+        if accum_steps == 1:
+            loss, grads = smapped(state.params, tokens, targets, rng)
+        else:
+            # grad accumulation over microbatches (fairseq --update-freq):
+            # scan outside the shard_map, averaging at the end
+            mb = tokens.shape[0] // accum_steps
+            tok_mb = tokens.reshape(accum_steps, mb, -1)
+            tgt_mb = targets.reshape(accum_steps, mb, -1)
+
+            def body(carry, xs):
+                loss_acc, grad_acc = carry
+                tk, tg, i = xs
+                l, g = smapped(state.params, tk, tg,
+                               jax.random.fold_in(rng, i))
+                return (loss_acc + l,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, g)), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (0.0, zero),
+                (tok_mb, tgt_mb, jnp.arange(accum_steps)))
+            loss = loss / accum_steps
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, grads)
         import optax as _optax
 
         grad_norm = _optax.global_norm(grads)
