@@ -25,7 +25,7 @@ path: ``efficient-attention/efficient_attention/eva.py:138-233`` with
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

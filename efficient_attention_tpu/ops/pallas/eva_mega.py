@@ -36,11 +36,6 @@ from efficient_attention_tpu.ops.pallas.eva_packed import (
     _pick_rows,
     _strip_maps,
 )
-from efficient_attention_tpu.ops.pallas.eva_summaries import (
-    _kernel as _summaries_body_kernel,  # noqa: F401  (shape reference)
-)
-
-
 # ------------------------------------------------------------- summaries --
 
 
