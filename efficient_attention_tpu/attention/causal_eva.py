@@ -330,9 +330,17 @@ class CausalEVAttention(nn.Module):
                     "derive from the LOCAL shard length), and shard length "
                     "a multiple of window_size")
             bias = self._t5_bias(self.window_size, self.window_size)
+            drop_rng = None
+            if not deterministic and self.dropout > 0.0:
+                # per-shard attention-dropout mask (reference applies
+                # dropout to the joint probs, ``causal_eva.py:778``)
+                drop_rng = jax.random.fold_in(
+                    self.make_rng("dropout"),
+                    jax.lax.axis_index(self.seq_axis))
             out = causal_eva_attention_shard(
                 w_q, w_k, w_v, rf_k_bar, beta, self.scaling,
-                self.seq_axis, rf_chunk_size, bias=bias)
+                self.seq_axis, rf_chunk_size, bias=bias,
+                dropout_rate=self.dropout, dropout_rng=drop_rng)
             x = jnp.swapaxes(W.window_1d_merge(out), 1, 2).reshape(B, N, C)
             return self.out_proj(x)
 

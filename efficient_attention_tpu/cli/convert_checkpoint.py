@@ -35,13 +35,13 @@ def build_parser(attn_name: str = "eva", enc_attn_name: str = None):
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--out", required=True, help="output .msgpack path")
-    # LM/MT family shape flags (the published recipes:
-    # transformer_lm_wiki103 = 16L/1024/4096/8h; transformer_wmt_en_de =
-    # 6L/512/2048/8h)
-    p.add_argument("--lm-embed-dim", type=int, default=1024)
-    p.add_argument("--lm-ffn-dim", type=int, default=4096)
-    p.add_argument("--lm-layers", type=int, default=16)
-    p.add_argument("--lm-heads", type=int, default=8)
+    # LM/MT family shape flags; defaults follow the published recipe for
+    # the chosen family (transformer_lm_wiki103 = 16L/1024/4096/8h;
+    # transformer_wmt_en_de = 6L/512/2048/8h)
+    p.add_argument("--lm-embed-dim", type=int, default=None)
+    p.add_argument("--lm-ffn-dim", type=int, default=None)
+    p.add_argument("--lm-layers", type=int, default=None)
+    p.add_argument("--lm-heads", type=int, default=None)
     p.add_argument("--attn-name-encoder", default=None,
                    help="MT family: encoder attention name")
     p = AttentionFactory.add_attn_specific_args(
@@ -82,6 +82,13 @@ def _lang_template_and_convert(args, attn_args):
 
     from efficient_attention_tpu.interop import convert_lang_state_dict
 
+    # recipe-shape defaults per family (override with the --lm-* flags)
+    lm_shape = args.family == "lm"
+    embed_dim = args.lm_embed_dim or (1024 if lm_shape else 512)
+    ffn_dim = args.lm_ffn_dim or (4096 if lm_shape else 2048)
+    n_layers = args.lm_layers or (16 if lm_shape else 6)
+    n_heads = args.lm_heads or 8
+
     sd = _load_torch_sd(args.torch_ckpt)
     if args.family == "lm":
         from efficient_attention_tpu.models.transformer import TransformerLM
@@ -96,9 +103,9 @@ def _lang_template_and_convert(args, attn_args):
                        + sd[f"decoder.embed_tokens.embeddings.{i}.0.weight"
                             ].shape[0])
         model = TransformerLM(
-            vocab_size=cut[-1], embed_dim=args.lm_embed_dim,
-            ffn_dim=args.lm_ffn_dim, num_layers=args.lm_layers,
-            num_heads=args.lm_heads, attn_name=args.attn_name,
+            vocab_size=cut[-1], embed_dim=embed_dim,
+            ffn_dim=ffn_dim, num_layers=n_layers,
+            num_heads=n_heads, attn_name=args.attn_name,
             attn_args=attn_args, dropout=0.0,
             adaptive_cutoffs=tuple(cut[:-1]), adaptive_input=True,
             tie_adaptive=True, final_norm=False)
@@ -111,8 +118,8 @@ def _lang_template_and_convert(args, attn_args):
     vocab = sd["encoder.embed_tokens.weight"].shape[0]
     model = TransformerModel(
         src_vocab_size=vocab, tgt_vocab_size=vocab,
-        embed_dim=args.lm_embed_dim, ffn_dim=args.lm_ffn_dim,
-        num_layers=args.lm_layers, num_heads=args.lm_heads,
+        embed_dim=embed_dim, ffn_dim=ffn_dim,
+        num_layers=n_layers, num_heads=n_heads,
         attn_name_encoder=args.attn_name_encoder or "softmax",
         attn_args_encoder=namespace_to_dict_safe(args, "attn_args_encoder"),
         attn_name_decoder=args.attn_name, attn_args_decoder=attn_args,

@@ -15,35 +15,34 @@ def cli_main(argv=None):
                    help="scorer (fairseq/scoring/ registry)")
     args = p.parse_args(argv)
 
+    with open(args.sys, encoding="utf-8") as f:
+        hyps = [ln.rstrip("\n") for ln in f]
+    with open(args.ref, encoding="utf-8") as f:
+        refs = [ln.rstrip("\n") for ln in f]
+    if len(hyps) != len(refs):
+        # a truncated generation run must not produce a plausible-looking
+        # prefix score (fairseq score.py asserts the same)
+        raise SystemExit(
+            f"line count mismatch: {args.sys} has {len(hyps)} lines, "
+            f"{args.ref} has {len(refs)}")
+
     if args.metric != "bleu":
         from efficient_attention_tpu.scoring import build_scorer
 
         scorer = build_scorer(args.metric)
-        with open(args.sys, encoding="utf-8") as fs, \
-                open(args.ref, encoding="utf-8") as fr:
-            for hyp, ref in zip(fs, fr):
-                scorer.add_string(ref.rstrip("\n"), hyp.rstrip("\n"))
+        for hyp, ref in zip(hyps, refs):
+            scorer.add_string(ref, hyp)
         print(scorer.result_string())
         return scorer.score()
 
-    from efficient_attention_tpu.scoring.bleu import BleuScorer
+    from efficient_attention_tpu.scoring.bleu import BleuScorer, WordIdMapper
 
     # word-level scoring over whitespace tokens mapped to ids
-    vocab = {}
-
-    def ids(line):
-        out = []
-        for w in line.split():
-            if w not in vocab:
-                vocab[w] = len(vocab) + 10
-            out.append(vocab[w])
-        return out
+    ids = WordIdMapper()
 
     scorer = BleuScorer()
-    with open(args.sys, encoding="utf-8") as fs, \
-            open(args.ref, encoding="utf-8") as fr:
-        for hyp, ref in zip(fs, fr):
-            scorer.add(ids(ref), ids(hyp))
+    for hyp, ref in zip(hyps, refs):
+        scorer.add(ids(ref), ids(hyp))
     print(scorer.result_string(args.order))
     return scorer.score(args.order)
 

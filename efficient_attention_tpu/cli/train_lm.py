@@ -183,15 +183,26 @@ def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
     """GPipe pipeline-parallel training loop (``--pipeline-stages N``) —
     the CLI surface for the reference's ``--pipeline-model-parallel``
     (``fairseq/dataclass/configs.py:365-423``), built on
-    ``parallel.pipeline.make_pipelined_train_step``: decoder layers stacked
-    on a leading L axis sharded over a ``stage`` mesh axis, microbatched
-    GPipe schedule, embed/head replicated."""
+    ``parallel.pipeline.make_pipelined_train_step``.
+
+    The parameters ARE the TransformerLM flax params, restructured: decoder
+    layer subtrees stacked on a leading L axis sharded over a ``stage``
+    mesh axis; the (tied) token embedding and final LayerNorm replicated.
+    Checkpoints are saved back in the TransformerLM layout, so eval_lm /
+    generate consume pipelined checkpoints directly.  Dropout and the
+    causal-EVA proposal noise run exactly as in the unpipelined trainer
+    (rng folded per stage/tick/layer); the criterion is token-mean CE with
+    a STREAMED vocab softmax (no ``[mb, T, V]`` materialization).  The
+    adaptive tied softmax is not pipelined — request ``--criterion
+    cross_entropy`` explicitly for large-vocab pipeline runs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
     from jax.sharding import Mesh
 
+    from efficient_attention_tpu.models.adaptive_softmax import (
+        _chunked_lse_and_target,
+    )
     from efficient_attention_tpu.models.transformer import (
         DecoderLayer,
         sinusoidal_positions,
@@ -200,11 +211,18 @@ def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
         make_pipelined_train_step,
     )
     from efficient_attention_tpu.training import (
+        CheckpointManager,
         MetricLogger,
         make_optimizer,
     )
     from efficient_attention_tpu.config import namespace_to_dict
 
+    model = build_model(args, vocab_size)
+    if model.adaptive_cutoffs or model.adaptive_input:
+        raise NotImplementedError(
+            "--pipeline-stages does not pipeline the adaptive input/softmax "
+            "stack; pass --criterion cross_entropy (the streamed-vocab CE "
+            "head avoids the dense [*, V] logits) or drop --adaptive-input")
     n_stages = args.pipeline_stages
     devices = jax.devices()
     if len(devices) % n_stages != 0 and len(devices) < n_stages:
@@ -221,52 +239,107 @@ def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
         embed_dim=D, ffn_dim=args.decoder_ffn_embed_dim,
         num_heads=args.decoder_attention_heads,
         attn_name=args.attn_name_decoder, attn_args=attn_args,
-        dropout=0.0, has_cross=False, normalize_before=True)
-    keys = jax.random.split(jax.random.PRNGKey(args.seed), L)
-    x0 = jnp.zeros((2, T, D))
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs),
-        *[layer.init(k, x0, deterministic=True) for k in keys])
-    rng = np.random.default_rng(args.seed)
-    emb = jnp.asarray(rng.normal(0, D ** -0.5, (vocab_size, D)), jnp.float32)
+        dropout=args.dropout, has_cross=False, normalize_before=True)
+
+    # init the REAL model once and restructure its params for the pipeline
+    dummy = jnp.zeros((1, T), jnp.int32)
+    full = jax.jit(lambda: model.init(jax.random.PRNGKey(args.seed), dummy))()
+    dec = dict(full["params"]["decoder"])
+    has_final_ln = "final_ln" in dec
+
+    def _stack_from(dec_tree):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[dec_tree[f"layer_{i}"] for i in range(L)])
+
+    def _to_flax(params3):
+        stacked, emb_p, head_p = params3
+        d = {f"layer_{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
+             for i in range(L)}
+        d["embed_tokens"] = {"embedding": emb_p}
+        if has_final_ln:
+            d["final_ln"] = {"scale": head_p["scale"],
+                             "bias": head_p["bias"]}
+        return {"params": {"decoder": d}}
+
+    stacked = _stack_from(dec)
+    emb = dec["embed_tokens"]["embedding"]
+    head_p = ({"scale": dec["final_ln"]["scale"],
+               "bias": dec["final_ln"]["bias"]} if has_final_ln else {})
     pos = jnp.asarray(sinusoidal_positions(T, D))
     scale = math.sqrt(D)
-    head_w = jnp.asarray(rng.normal(0, D ** -0.5, (D, vocab_size)),
-                         jnp.float32)
-    head_p = (jnp.ones((D,)), jnp.zeros((D,)), head_w)
 
-    def embed_fn(p, tok):
-        return jnp.take(p, tok, axis=0) * scale + pos[None, None]
+    def embed_fn(p, tok, rng):
+        h = jnp.take(p, tok, axis=0) * scale + pos[None, None]
+        if args.dropout > 0.0:
+            keep = jax.random.bernoulli(rng, 1.0 - args.dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - args.dropout), 0.0)
+        return h
 
-    def head_fn(p, h):
-        ln_s, ln_b, w = p
-        mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
-        h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
-        return h @ w
+    def head_fn(p, emb_p, h):
+        if has_final_ln:
+            mu = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+            h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+        # tied output projection (share_input_output_embed): stream the
+        # vocab — the loss consumes (features, weight) without ever
+        # building [*, V] logits
+        return h, emb_p
 
-    def layer_fn(p, x):
-        return layer.apply(p, x, deterministic=True)
+    def layer_fn(p, x, rng):
+        return layer.apply(
+            {"params": p}, x, deterministic=False,
+            rngs={"dropout": rng, "sample": jax.random.fold_in(rng, 1)})
 
-    def loss_fn(logits, tgt):
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, tgt).mean()
+    def loss_fn(out, tgt):
+        h, w = out
+        lse, tgt_logit = _chunked_lse_and_target(h, w, tgt)
+        mask = (tgt != 1).astype(jnp.float32)
+        return jnp.sum((lse - tgt_logit) * mask) / jnp.maximum(
+            jnp.sum(mask), 1.0)
 
     tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
                         clip_grad=args.clip_norm)
     mesh = Mesh(np.array(devices[:n_stages]), ("stage",))
     init_opt, step = make_pipelined_train_step(
-        layer_fn, loss_fn, tx, mesh, embed_fn=embed_fn, head_fn=head_fn)
+        layer_fn, loss_fn, tx, mesh, embed_fn=embed_fn, head_fn=head_fn,
+        head_takes_embed=True)
     params3 = (stacked, emb, head_p)
     opt_state = init_opt(params3)
 
+    os.makedirs(args.save_dir, exist_ok=True)
+    manager = CheckpointManager(os.path.join(args.save_dir, "ckpt"),
+                                save_interval_steps=1)
+    start = 0
+    latest = manager.latest_step()
+    if latest is not None:
+        restored = manager.restore(
+            {"step": 0, "params": _to_flax(params3), "opt_state": opt_state})
+        start = int(restored["step"])
+        rdec = restored["params"]["params"]["decoder"]
+        stacked = _stack_from(rdec)
+        emb = rdec["embed_tokens"]["embedding"]
+        if has_final_ln:
+            head_p = {"scale": rdec["final_ln"]["scale"],
+                      "bias": rdec["final_ln"]["bias"]}
+        params3 = (stacked, emb, head_p)
+        opt_state = restored["opt_state"]
+        print(f"| resumed pipelined run at step {start}")
+
+    base_rng = jax.random.PRNGKey(args.seed + 13)
     num_micro = max(2, args.pipeline_chunks)
     mb = max(1, args.max_tokens // T // num_micro)
     logger = MetricLogger()
+    rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(blocks))
     pos_i = 0
     stats = {}
-    for update in range(args.max_update):
+
+    def _save(update):
+        manager.save(update, {"step": update, "params": _to_flax(params3),
+                              "opt_state": opt_state})
+
+    for update in range(start, args.max_update):
         if pos_i + num_micro * mb > len(order):
             order = rng.permutation(len(blocks))
             pos_i = 0
@@ -275,11 +348,18 @@ def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
         batch = np.stack([blocks[int(i)] for i in idx])
         toks = jnp.asarray(batch[:, :-1]).reshape(num_micro, mb, T)
         tgts = jnp.asarray(batch[:, 1:]).reshape(num_micro, mb, T)
-        params3, opt_state, loss = step(params3, opt_state, toks, tgts)
+        params3, opt_state, loss = step(
+            params3, opt_state, toks, tgts,
+            jax.random.fold_in(base_rng, update))
         logger.update(loss=float(loss))
         if (update + 1) % args.log_interval == 0:
             print(f"| pp step {update + 1} {logger}")
+        if (update + 1) % args.save_interval_updates == 0:
+            _save(update + 1)
         stats = {"step": update + 1, "loss": float(loss)}
+    if args.max_update > start:
+        _save(args.max_update)
+    manager.wait()
     print(json.dumps(stats))
     return stats
 
@@ -311,9 +391,12 @@ def main(args) -> dict:
     sp = max(1, args.seq_parallel)
     mesh = make_mesh(data=-1, seq=sp)
     dp = max(1, n_dev // sp)
-    batch_size = max(dp, (args.max_tokens // args.tokens_per_sample)
+    # the batch must split into update_freq microbatches that each shard
+    # evenly over the data axis
+    quantum = dp * max(1, args.update_freq)
+    batch_size = max(quantum, (args.max_tokens // args.tokens_per_sample)
                      * args.update_freq)
-    batch_size -= batch_size % dp
+    batch_size -= batch_size % quantum
 
     if args.lr_scheduler == "cosine":
         schedule = cosine_tmult_schedule(

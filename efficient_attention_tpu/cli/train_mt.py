@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=2048)
     p.add_argument("--encoder-layers", type=int, default=6)
     p.add_argument("--encoder-attention-heads", type=int, default=8)
+    p.add_argument("--share-all-embeddings", action="store_true",
+                   help="one embedding table for encoder/decoder/output "
+                        "(the WMT recipe, reference main.sh:147; requires "
+                        "a joint vocabulary)")
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--max-tokens", type=int, default=4096)
@@ -139,7 +143,8 @@ def build_model(args, src_vocab, tgt_vocab):
         attn_name_decoder=args.attn_name_decoder,
         attn_args_decoder=namespace_to_dict(
             getattr(args, "attn_args_decoder", _ap.Namespace())),
-        dropout=args.dropout, max_len=args.max_len)
+        dropout=args.dropout, max_len=args.max_len,
+        share_all_embeddings=getattr(args, "share_all_embeddings", False))
 
 
 def main(args) -> dict:
@@ -231,14 +236,17 @@ def main(args) -> dict:
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
         order = order[np.argsort(sizes[order], kind="stable")]
+        # each batch must split into update_freq microbatches that each
+        # shard evenly over the devices
+        quantum = n_dev * max(1, args.update_freq)
         batches = batch_by_size(order, sizes, args.max_tokens,
-                                required_multiple=n_dev)
+                                required_multiple=quantum)
         order_rng.shuffle(batches)
         for bidx in batches:
             if int(state.step) >= args.max_update:
                 break
-            if len(bidx) % n_dev != 0:
-                bidx = bidx[: len(bidx) - (len(bidx) % n_dev)]
+            if len(bidx) % quantum != 0:
+                bidx = bidx[: len(bidx) - (len(bidx) % quantum)]
             if len(bidx) == 0:
                 continue
             if skip > 0:

@@ -86,7 +86,13 @@ class SubwordNMTBPE:
     @staticmethod
     def decode(sentence: str) -> str:
         """Reverse: drop continuation markers (fairseq ``post_process``)."""
-        return (sentence + " ").replace("@@ ", "").rstrip()
+        return remove_bpe(sentence)
+
+
+def remove_bpe(sentence: str, symbol: str = "@@ ") -> str:
+    """Drop BPE continuation markers (fairseq ``data_utils.post_process``
+    for the subword-nmt symbol; ``--remove-bpe``)."""
+    return (sentence + " ").replace(symbol, "").rstrip()
 
 
 class SpaceTokenizer:

@@ -171,7 +171,42 @@ _LM_IGNORED_RE = re.compile(
     r"adaptive_softmax\.tail\.\d+\.\d+\.weight$")
 
 
-def _lang_path_to_torch_key(parts, shared_embed: bool) -> str:
+def _verify_tied_adaptive(sd: Mapping[str, np.ndarray]) -> None:
+    """The conversion treats adaptive-softmax tail/word_proj tensors as
+    duplicates of the adaptive-INPUT bands (fairseq ``TiedLinear`` registers
+    the shared parameter under both names).  That is only true for
+    ``--tie-adaptive-weights`` checkpoints — verify it, so an untied
+    checkpoint raises instead of silently substituting its input embeddings
+    for the trained output layer."""
+    for k in sd:
+        if "adaptive_softmax.head.word_proj.weight" in k:
+            band = k.split("adaptive_softmax")[0] + \
+                "embed_tokens.embeddings.0.0.weight"
+            pairs = [(k, band)]
+        else:
+            m = re.search(r"adaptive_softmax\.tail\.(\d+)\.(\d+)\.weight$", k)
+            if not m:
+                continue
+            i, j = int(m.group(1)), int(m.group(2))
+            # tail.i.0 is the dim-reducing projection (== band i+1's
+            # projection, embeddings.{i+1}.1); the last tail linear is the
+            # band's word embedding (embeddings.{i+1}.0)
+            band = (k.split("adaptive_softmax")[0]
+                    + f"embed_tokens.embeddings.{i + 1}.{1 if j == 0 else 0}"
+                    + ".weight")
+            pairs = [(k, band)]
+        for tied, band in pairs:
+            if band not in sd or sd[tied].shape != sd[band].shape \
+                    or not np.allclose(sd[tied], sd[band]):
+                raise ValueError(
+                    f"'{tied}' does not mirror '{band}': this checkpoint's "
+                    "adaptive softmax is NOT tied to the adaptive input "
+                    "(no --tie-adaptive-weights); convert_lang_state_dict "
+                    "only supports the tied configuration the wiki103 "
+                    "recipe publishes")
+
+
+def _lang_path_to_torch_key(parts) -> str:
     """Translate a flax LM/MT param path to the fairseq parameter name.
 
     LM example: ['decoder', 'layer_0', 'self_attn', 'q_proj', 'kernel'] ->
@@ -244,6 +279,7 @@ def convert_lang_state_dict(state_dict: Mapping[str, Any],
     fork's ``EfficientAttention``-wrapped factory encoder attention.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    _verify_tied_adaptive(sd)
     flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
     treedef = jax.tree_util.tree_structure(flax_params)
     used = set()
@@ -252,7 +288,7 @@ def convert_lang_state_dict(state_dict: Mapping[str, Any],
         parts = [getattr(k, "key", str(k)) for k in path]
         if parts and parts[0] == "params":
             parts = parts[1:]
-        tk = _lang_path_to_torch_key(parts, shared_embed)
+        tk = _lang_path_to_torch_key(parts)
         if tk not in sd:
             raise KeyError(
                 f"no reference parameter for flax leaf {'/'.join(parts)} "

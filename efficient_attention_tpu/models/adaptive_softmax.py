@@ -24,8 +24,7 @@ Array = jax.Array
 
 
 def _chunked_lse_and_target(h: Array, w: Array, targets: Array,
-                            chunk_size: int = 16384,
-                            w_is_vocab_major: bool = True
+                            chunk_size: int = 16384
                             ) -> Tuple[Array, Array]:
     """Streaming (lse, target_logit) of ``h @ w^T`` over a large vocab.
 

@@ -32,12 +32,15 @@ def pipeline_run(
     stage_params: Any,  # this stage's params (already sharded)
     microbatches: Array,  # [num_micro, mb, ...] this stage holds the full set
     axis_name: str = "stage",
+    rng: Any = None,
 ) -> Array:
     """Run inside shard_map: GPipe forward over the stage axis.
 
     Stage 0 feeds microbatches in order; stage ``S-1``'s outputs are collected.
     Returns ``[num_micro, mb, ...]`` (valid on the last stage; callers
     typically ``psum``/select).  Total ticks = num_micro + num_stages - 1.
+    With ``rng``, ``stage_fn`` is called as ``stage_fn(params, x, tick_rng)``
+    (a distinct fold per schedule tick — dropout support).
     """
     n_stages = jax.lax.axis_size(axis_name)
     stage_id = jax.lax.axis_index(axis_name)
@@ -53,7 +56,10 @@ def pipeline_run(
             microbatches, jnp.clip(t, 0, num_micro - 1), axis=0,
             keepdims=False)
         x = jnp.where(stage_id == 0, feed, state)
-        y = stage_fn(stage_params, x)
+        if rng is None:
+            y = stage_fn(stage_params, x)
+        else:
+            y = stage_fn(stage_params, x, jax.random.fold_in(rng, t))
         # last stage records its result for microbatch (t - n_stages + 1)
         out_idx = jnp.clip(t - (n_stages - 1), 0, num_micro - 1)
         record = (stage_id == n_stages - 1) & (t >= n_stages - 1)
@@ -122,6 +128,7 @@ def make_pipelined_train_step(
     axis_name: str = "stage",
     embed_fn: Callable[[Any, Array], Array] = None,
     head_fn: Callable[[Any, Array], Array] = None,
+    head_takes_embed: bool = False,
 ):
     """GPipe TRAINING step over a stage mesh axis.
 
@@ -143,24 +150,47 @@ def make_pipelined_train_step(
         embedding on entry, LM head on exit), run outside the stage loop —
         matching the reference's embed-on-first / head-on-last placement
         without pinning them to a stage.
+      head_takes_embed: ``head_fn(head_p, embed_p, h)`` — for heads tied to
+        the input embedding (``share_input_output_embed``), so the shared
+        table stays ONE parameter leaf and its gradient sums both uses.
 
     Returns ``(init_opt_state_fn, train_step)`` where
-    ``train_step(params3, opt_state, micro_x, micro_tgt) ->
-    (params3, opt_state, loss)`` is fully jitted.
+    ``train_step(params3, opt_state, micro_x, micro_tgt[, rng]) ->
+    (params3, opt_state, loss)`` is fully jitted.  Passing an ``rng``
+    requires ``layer_fn``/``embed_fn`` to accept a trailing rng arg
+    (dropout); it is folded per-stage, per-tick, and per-layer so no two
+    dropout masks repeat.
     """
     embed_fn = embed_fn or (lambda p, x: x)
     head_fn = head_fn or (lambda p, x: x)
 
-    def stage_fn(stage_params, x):
-        x, _ = jax.lax.scan(lambda c, p: (layer_fn(p, c), None),
-                            x, stage_params)
+    def stage_fn(stage_params, x, rng=None):
+        if rng is None:
+            x, _ = jax.lax.scan(lambda c, p: (layer_fn(p, c), None),
+                                x, stage_params)
+            return x
+        n_local = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
+
+        def body(c, xs):
+            p, i = xs
+            return layer_fn(p, c, jax.random.fold_in(rng, i)), None
+
+        x, _ = jax.lax.scan(body, x, (stage_params, jnp.arange(n_local)))
         return x
 
-    def inner_loss(stacked, embed_p, head_p, micro_x, micro_tgt):
-        h = embed_fn(embed_p, micro_x)
-        out = pipeline_run(stage_fn, stacked, h, axis_name)
+    def inner_loss(stacked, embed_p, head_p, micro_x, micro_tgt, rng=None):
+        if rng is None:
+            h = embed_fn(embed_p, micro_x)
+            out = pipeline_run(stage_fn, stacked, h, axis_name)
+        else:
+            # distinct dropout per stage: fold this stage's index
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            h = embed_fn(embed_p, micro_x, jax.random.fold_in(rng, 997))
+            out = pipeline_run(stage_fn, stacked, h, axis_name, rng=rng)
         n = jax.lax.axis_size(axis_name)
         gathered = jax.lax.all_gather(out, axis_name)[n - 1]
+        if head_takes_embed:
+            return loss_fn(head_fn(head_p, embed_p, gathered), micro_tgt)
         return loss_fn(head_fn(head_p, gathered), micro_tgt)
 
     sharded_loss = jax.shard_map(
@@ -169,15 +199,24 @@ def make_pipelined_train_step(
         out_specs=P(),
         check_vma=False,
     )
+    sharded_loss_rng = jax.shard_map(
+        inner_loss, mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
 
-    def loss_of(params3, micro_x, micro_tgt):
+    def loss_of(params3, micro_x, micro_tgt, rng):
         stacked, embed_p, head_p = params3
-        return sharded_loss(stacked, embed_p, head_p, micro_x, micro_tgt)
+        if rng is None:
+            return sharded_loss(stacked, embed_p, head_p, micro_x, micro_tgt)
+        return sharded_loss_rng(stacked, embed_p, head_p, micro_x, micro_tgt,
+                                rng)
 
     @jax.jit
-    def train_step(params3, opt_state, micro_x, micro_tgt):
+    def train_step(params3, opt_state, micro_x, micro_tgt, rng=None):
         loss, grads = jax.value_and_grad(loss_of)(params3, micro_x,
-                                                  micro_tgt)
+                                                  micro_tgt, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params3)
         params3 = optax.apply_updates(params3, updates)
         return params3, opt_state, loss

@@ -72,6 +72,8 @@ def causal_eva_attention_shard(
     axis_name: str,
     chunk_size: int,
     bias: Optional[Array] = None,  # [w, w] head-shared T5 bias
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[Array] = None,  # already folded per shard
 ) -> Array:
     """Sequence-parallel CAUSAL EVA (the LM family's context parallelism).
 
@@ -108,6 +110,14 @@ def causal_eva_attention_shard(
     attn = jax.nn.softmax(
         jnp.concatenate([local, chunk.astype(local.dtype)], axis=-1), axis=-1
     ).astype(w_v.dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # attention-probability dropout on the joint weights, matching the
+        # non-SP path (reference ``causal_eva.py:778``); flax Dropout
+        # semantics (inverted scaling), rng pre-folded per sequence shard
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate),
+                         jnp.zeros_like(attn))
     return (jnp.einsum("bhgij,bhgjd->bhgid", attn[..., :s], w_v)
             + jnp.einsum("bhgic,bhcd->bhgid", attn[..., s:], beta))
 
@@ -175,9 +185,15 @@ def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
         else:
             # grad accumulation over microbatches (fairseq --update-freq):
             # scan outside the shard_map, averaging at the end
+            if tokens.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {tokens.shape[0]} not divisible by "
+                    f"--update-freq {accum_steps}")
             mb = tokens.shape[0] // accum_steps
-            tok_mb = tokens.reshape(accum_steps, mb, -1)
-            tgt_mb = targets.reshape(accum_steps, mb, -1)
+            # explicit T: a wrong batch errors instead of silently re-
+            # slicing tokens across samples
+            tok_mb = tokens.reshape(accum_steps, mb, tokens.shape[1])
+            tgt_mb = targets.reshape(accum_steps, mb, targets.shape[1])
 
             def body(carry, xs):
                 loss_acc, grad_acc = carry

@@ -75,3 +75,20 @@ class BleuScorer:
                 + "/".join(f"{p:.1f}" for p in ps)
                 + f" (BP={self.brevity():.3f}, ratio={self.sys_len / max(self.ref_len, 1):.3f}, "
                 f"syslen={self.sys_len}, reflen={self.ref_len})")
+
+
+class WordIdMapper:
+    """Whitespace-token -> stable integer id mapping for word-level BLEU
+    over text lines (``fairseq_cli/score.py``'s dictionary-free scoring).
+    Ids start at 10 to stay clear of the reserved special-token range."""
+
+    def __init__(self):
+        self._vocab = {}
+
+    def __call__(self, line: str):
+        out = []
+        for w in line.split():
+            if w not in self._vocab:
+                self._vocab[w] = len(self._vocab) + 10
+            out.append(self._vocab[w])
+        return out

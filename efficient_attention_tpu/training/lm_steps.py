@@ -50,9 +50,15 @@ def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.apply_fn, tokens, targets, rng)
         else:
+            if tokens.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {tokens.shape[0]} not divisible by "
+                    f"--update-freq {accum_steps}")
             mb = tokens.shape[0] // accum_steps
-            tok_mb = tokens.reshape(accum_steps, mb, -1)
-            tgt_mb = targets.reshape(accum_steps, mb, -1)
+            # explicit T: a wrong batch errors instead of silently re-
+            # slicing tokens across samples
+            tok_mb = tokens.reshape(accum_steps, mb, tokens.shape[1])
+            tgt_mb = targets.reshape(accum_steps, mb, targets.shape[1])
 
             def body(carry, xs):
                 loss_acc, grad_acc = carry
@@ -116,6 +122,10 @@ def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
             (loss, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.apply_fn, src, prev, targets, rng)
         else:
+            if src.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {src.shape[0]} not divisible by "
+                    f"--update-freq {accum_steps}")
             mb = src.shape[0] // accum_steps
 
             def body(carry, xs):
@@ -130,9 +140,9 @@ def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (loss, nll, grads), _ = jax.lax.scan(
                 body, (0.0, 0.0, zero),
-                (src.reshape(accum_steps, mb, -1),
-                 prev.reshape(accum_steps, mb, -1),
-                 targets.reshape(accum_steps, mb, -1),
+                (src.reshape(accum_steps, mb, src.shape[1]),
+                 prev.reshape(accum_steps, mb, prev.shape[1]),
+                 targets.reshape(accum_steps, mb, targets.shape[1]),
                  jnp.arange(accum_steps)))
             loss, nll = loss / accum_steps, nll / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)

@@ -78,6 +78,7 @@ case "$DATASET" in
         --decoder-attn-causal \
         --decoder-layers 16 --decoder-embed-dim 1024 \
         --decoder-ffn-embed-dim 4096 --criterion adaptive_loss \
+        --adaptive-input --tie-adaptive-weights --no-decoder-final-norm \
         --optimizer nag --checkpoint "$SAVE/ckpt" \
         --tokens-per-sample 512 --context-window "$CTX" $EXTRA
     done
@@ -103,6 +104,7 @@ case "$DATASET" in
         $ENC_FLAGS --attn-name-decoder causal_eva \
         --decoder-attn-window-size 16 --decoder-attn-chunk-size 8 \
         --decoder-attn-adaptive-proj qk --decoder-attn-causal \
+        --share-all-embeddings \
         --optimizer adam --adam-betas "(0.9, 0.98)" --lr 7e-4 \
         --warmup-updates 6000 --max-update 300000 --max-tokens 4096 \
         --save-dir "$SAVE" $EXTRA
@@ -111,6 +113,7 @@ case "$DATASET" in
       $ENC_FLAGS --attn-name-decoder causal_eva \
       --decoder-attn-window-size 16 --decoder-attn-chunk-size 8 \
       --decoder-attn-adaptive-proj qk --decoder-attn-causal \
+      --share-all-embeddings \
       --path "$SAVE/ckpt" --num-avg-checkpoints 10 \
       --beam 4 --lenpen 0.6 --remove-bpe \
       --results-path "$SAVE/gen.out" $EXTRA
