@@ -23,6 +23,22 @@ def parse_args(argv=None):
     parser.add_argument("--beam", type=int, default=4)
     parser.add_argument("--lenpen", type=float, default=0.6)
     parser.add_argument("--max-len-b", type=int, default=64)
+    parser.add_argument("--max-len-a", type=float, default=0.0,
+                        help="per-sentence max output length = "
+                             "max-len-a*src_len + max-len-b "
+                             "(fairseq generation config)")
+    parser.add_argument("--min-len", type=int, default=1,
+                        help="minimum output length (eos banned below)")
+    parser.add_argument("--match-source-len", action="store_true",
+                        help="force each output to its source's length "
+                             "(LengthConstrainedBeamSearch with "
+                             "min=max=src_len)")
+    parser.add_argument("--sampling", action="store_true",
+                        help="sample instead of beam search "
+                             "(fairseq --sampling; beam size 1)")
+    parser.add_argument("--sampling-topk", type=int, default=-1)
+    parser.add_argument("--sampling-topp", type=float, default=-1.0)
+    parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--gen-batch", type=int, default=8)
     parser.add_argument("--num-avg-checkpoints", type=int, default=1)
     parser.add_argument("--gen-subset-size", type=int, default=32)
@@ -100,8 +116,9 @@ def main(args) -> dict:
 
     from efficient_attention_tpu.data.text_data import collate_tokens
     from efficient_attention_tpu.generation import SequenceGenerator
+    from efficient_attention_tpu.generation.beam_search import sample_decode
     from efficient_attention_tpu.models.transformer import TransformerModel
-    from efficient_attention_tpu.scoring.bleu import BleuScorer
+    from efficient_attention_tpu.scoring.bleu import BleuScorer, WordIdMapper
 
     src, tgt, sd, td = load_pairs(args)
     src_vocab = len(sd) if sd else args.dummy_vocab
@@ -120,17 +137,9 @@ def main(args) -> dict:
         return (sentence + " ").replace(args.remove_bpe, "").rstrip()
 
     scorer = BleuScorer()
-    word_vocab: dict = {}
+    word_ids = WordIdMapper()
 
-    def word_ids(line):
-        out = []
-        for w in line.split():
-            if w not in word_vocab:
-                word_vocab[w] = len(word_vocab) + 10
-            out.append(word_vocab[w])
-        return out
-
-    K = args.beam
+    K = 1 if args.sampling else args.beam
     n_out = 0
     outputs = []
     gen_lines = []
@@ -156,17 +165,44 @@ def main(args) -> dict:
             return model.apply(params, bk, max_len,
                                method=TransformerModel.init_decode_state)
 
-        gen = SequenceGenerator(
-            step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
-            max_len=args.max_len_b, len_penalty=args.lenpen,
-            diversity_groups=max(args.diverse_beam_groups, 1),
-            diversity_strength=args.diverse_beam_strength,
-            diverse_siblings_gamma=max(args.diversity_rate, 0.0))
-        prefix = None
-        if args.prefix_size > 0:
-            prefix = collate_tokens(
-                [tgt[j][: args.prefix_size] for j in chunk], pad_idx=1)
-        tokens, scores = gen.generate(batch=B, prefix_tokens=prefix)
+        src_lens = (np.asarray(src_b) != 1).sum(axis=1)
+        if args.match_source_len:
+            # fairseq generate.py: LengthConstrained with min=max=src_len
+            buf_len = int(src_lens.max()) + 1
+            len_kw = dict(min_len=0, min_len_a=1.0,
+                          max_len_a=1.0, max_len_b=0)
+        else:
+            buf_len = int(args.max_len_a * src_b.shape[1]) + args.max_len_b
+            len_kw = dict(min_len=args.min_len, max_len_a=args.max_len_a,
+                          max_len_b=(args.max_len_b if args.max_len_a > 0
+                                     else None))
+        if args.sampling:
+            toks_flat, samp_scores = sample_decode(
+                step_fn, init_cache, B, buf_len, bos=2, eos=2,
+                rng=jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed), i),
+                temperature=args.temperature,
+                top_k=max(args.sampling_topk, 0),
+                top_p=max(args.sampling_topp, 0.0), return_scores=True)
+            tokens = jnp.concatenate(
+                [jnp.full((B, 1), 2, jnp.int32), toks_flat],
+                axis=1)[:, None, :]
+            scores = samp_scores[:, None]
+        else:
+            gen = SequenceGenerator(
+                step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
+                max_len=buf_len, len_penalty=args.lenpen,
+                diversity_groups=max(args.diverse_beam_groups, 1),
+                diversity_strength=args.diverse_beam_strength,
+                diverse_siblings_gamma=max(args.diversity_rate, 0.0),
+                **len_kw)
+            prefix = None
+            if args.prefix_size > 0:
+                prefix = collate_tokens(
+                    [tgt[j][: args.prefix_size] for j in chunk], pad_idx=1)
+            tokens, scores = gen.generate(
+                batch=B, prefix_tokens=prefix,
+                src_lengths=jnp.asarray(src_lens))
         for b, j in enumerate(chunk):
             hyp = np.asarray(tokens[b, 0, 1:])
             # trim at eos

@@ -77,6 +77,10 @@ class SequenceGenerator:
         diversity_groups: int = 1,
         diversity_strength: float = 0.5,
         diverse_siblings_gamma: float = 0.0,
+        min_len: int = 1,
+        min_len_a: float = 0.0,
+        max_len_a: float = 0.0,
+        max_len_b: Optional[int] = None,
     ):
         """Search-strategy knobs mirror ``fairseq/search.py``:
 
@@ -89,6 +93,13 @@ class SequenceGenerator:
         * ``diverse_siblings_gamma > 0``: Diverse Siblings
           (``search.py:745-796``) — the rank-k candidate within each beam
           is penalized by ``k * gamma`` before the global top-K.
+        * ``min_len`` / ``min_len_a`` / ``max_len_a`` / ``max_len_b``:
+          LengthConstrainedBeamSearch (``search.py:526-549``) — with
+          per-sentence source lengths (``generate(src_lengths=...)``),
+          eos is banned while ``out_len < min_len_a*src + min_len`` and
+          forced once ``out_len >= max_len_a*src + max_len_b`` (fairseq
+          ``--min-len/--max-len-a/--max-len-b/--match-source-len``).
+          ``max_len`` remains the static buffer cap.
         """
         self.step_fn = step_fn
         self.init_cache_fn = init_cache_fn
@@ -108,6 +119,10 @@ class SequenceGenerator:
         self.diversity_groups = diversity_groups
         self.diversity_strength = diversity_strength
         self.diverse_siblings_gamma = diverse_siblings_gamma
+        self.min_len = min_len
+        self.min_len_a = min_len_a
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
 
     def _ngram_block(self, tokens: Array, logp: Array, step: Array) -> Array:
         """Ban next-tokens completing an already-seen n-gram — vectorized
@@ -222,7 +237,8 @@ class SequenceGenerator:
 
     def generate(self, batch: int,
                  prefix_tokens: Optional[Array] = None,
-                 constraints: Optional[Array] = None) -> Tuple[Array, Array]:
+                 constraints: Optional[Array] = None,
+                 src_lengths: Optional[Array] = None) -> Tuple[Array, Array]:
         """Run the full beam loop; returns (tokens [B, K, L+1],
         scores [B, K]) sorted best-first.
 
@@ -242,6 +258,22 @@ class SequenceGenerator:
         state = self._init_state(batch)
         if prefix_tokens is not None:
             prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+        # per-sentence output-length bounds (LengthConstrainedBeamSearch,
+        # ``search.py:526-549``); scalar fallbacks without src_lengths
+        if src_lengths is not None:
+            sl = jnp.asarray(src_lengths, jnp.float32)
+        elif self.min_len_a or self.max_len_a:
+            raise ValueError("min_len_a/max_len_a scale with the source "
+                             "length; pass generate(src_lengths=...)")
+        else:
+            sl = jnp.zeros((batch,), jnp.float32)
+        min_lens = self.min_len_a * sl + self.min_len  # [B]
+        cap = float(self.max_len)
+        if self.max_len_b is None and self.max_len_a == 0.0:
+            max_lens = jnp.full((batch,), cap)
+        else:
+            mlb = cap if self.max_len_b is None else float(self.max_len_b)
+            max_lens = jnp.minimum(self.max_len_a * sl + mlb, cap)
         if constraints is not None:
             from efficient_attention_tpu.generation import constraints as C
 
@@ -289,12 +321,26 @@ class SequenceGenerator:
                 logp = jnp.where(
                     active[:, None, None],
                     jnp.where(forced_mask, logp, NEG_INF), logp)
+            step_len = state.step + 1
+            # rows at their max output length must emit eos NOW — fairseq
+            # compares the count of already-emitted tokens (its ``step``):
+            # LengthConstrainedBeamSearch sets lprobs[..., eos] = 0 at
+            # ``step >= max_lens`` and the generator -inf's everything else
+            nsofar = state.step.astype(jnp.float32)
+            force_eos = nsofar >= max_lens  # [B]
+            eos_col = jnp.zeros((V,), bool).at[self.eos].set(True)
+            logp = jnp.where(force_eos[:, None, None],
+                             jnp.where(eos_col[None, None, :], 0.0, NEG_INF),
+                             logp)
             cand = state.log_probs[..., None] + logp  # [B, K, V]
 
             # candidates ending in eos become finished hypotheses
-            step_len = state.step + 1
             eos_scores = cand[:, :, self.eos] / _length_penalty(
                 step_len.astype(jnp.float32), self.len_penalty)
+            # eos banned below the per-sentence minimum output length
+            # (``step < min_lens`` in search.py:544)
+            eos_scores = jnp.where((nsofar >= min_lens)[:, None],
+                                   eos_scores, NEG_INF)
             if constraints is not None:
                 # unfinished hypotheses may not terminate
                 # (``search.py:309-323``)
@@ -366,28 +412,51 @@ def _is_normalized(logp: Array) -> bool:
 
 
 def sample_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, rng,
-                  pad=1, temperature: float = 1.0, top_k: int = 0):
-    """Ancestral / top-k sampling (``fairseq search.Sampling`` analogue)."""
+                  pad=1, temperature: float = 1.0, top_k: int = 0,
+                  top_p: float = 0.0, return_scores: bool = False):
+    """Ancestral / top-k / top-p sampling (``fairseq search.Sampling``,
+    ``search.py:621-743``: ``--sampling --sampling-topk --sampling-topp
+    --temperature``).  ``top_p`` keeps the smallest prefix of the sorted
+    distribution whose cumulative probability reaches p (the boundary token
+    included, as in ``_sample_topp``).  With ``return_scores``, also returns
+    the summed log-probability of each sampled hypothesis (fairseq reports
+    these as the H- line scores)."""
     cache = init_cache_fn(batch, max_len + 1)
 
     def body(carry, step):
-        tokens, cache, done, rng = carry
+        tokens, cache, done, rng, score = carry
         logits, cache = step_fn(cache, tokens, step)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if top_k > 0:
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, NEG_INF, logits)
+        if top_p > 0.0:
+            srt = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # last kept rank: first index where cumulative mass >= p
+            keep = (cum - probs) < top_p
+            last = jnp.maximum(jnp.sum(keep, axis=-1) - 1, 0)
+            thresh = jnp.take_along_axis(srt, last[:, None], axis=1)
+            logits = jnp.where(logits < thresh, NEG_INF, logits)
         rng, sub = jax.random.split(rng)
         nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+        score = score + jnp.where(done, 0.0, tok_lp)
         nxt = jnp.where(done, pad, nxt)[:, None]
         done = done | (nxt[:, 0] == eos)
-        return (nxt, cache, done, rng), nxt[:, 0]
+        return (nxt, cache, done, rng, score), nxt[:, 0]
 
     init_tokens = jnp.full((batch, 1), bos, jnp.int32)
     done0 = jnp.zeros((batch,), bool)
-    _, outs = jax.lax.scan(
-        body, (init_tokens, cache, done0, rng), jnp.arange(max_len))
-    return jnp.swapaxes(outs, 0, 1)
+    score0 = jnp.zeros((batch,), jnp.float32)
+    (_, _, _, _, scores), outs = jax.lax.scan(
+        body, (init_tokens, cache, done0, rng, score0), jnp.arange(max_len))
+    tokens = jnp.swapaxes(outs, 0, 1)
+    if return_scores:
+        return tokens, scores
+    return tokens
 
 
 def greedy_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, pad=1):

@@ -320,3 +320,84 @@ class TestDBAStripeRegression:
         # rank-0 (stripe 19) and the whole beam collapsed into one bank
         assert (0, 0) in picked, picked       # bank-19 rank-0
         assert (1, 3) in picked, picked       # bank-0 rank-0
+
+
+class TestLengthConstrained:
+    """LengthConstrainedBeamSearch (``fairseq/search.py:526-549``):
+    per-sentence min/max output lengths from ``src_lengths``, plus the
+    scalar ``--min-len`` ban."""
+
+    def test_min_len_bans_early_eos(self):
+        # model always wants eos immediately; min_len=3 forces 3 real
+        # tokens first
+        tables = _logp([[1, 1, 100, 3, 1, 1]] * 6)
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=6,
+                                eos=EOS, pad=PAD, len_penalty=0.0,
+                                min_len=3)
+        tokens, _ = gen.generate(batch=1)
+        hyp = np.asarray(tokens[0, 0, 1:])
+        eos_pos = np.where(hyp == EOS)[0]
+        assert len(eos_pos) and eos_pos[0] == 3  # exactly 3 tokens then eos
+
+    def test_max_len_a_forces_eos_per_sentence(self):
+        # model never wants eos; max_len = 1*src + 0 forces it per row
+        tables = _logp([[1, 1, 1e-9, 10, 1, 1]] * 8)
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=8,
+                                eos=EOS, pad=PAD, len_penalty=0.0,
+                                max_len_a=1.0, max_len_b=0)
+        tokens, scores = gen.generate(
+            batch=2, src_lengths=jnp.asarray([2.0, 4.0]))
+        for b, want in [(0, 2), (1, 4)]:
+            hyp = np.asarray(tokens[b, 0, 1:])
+            eos_pos = np.where(hyp == EOS)[0]
+            assert len(eos_pos) and eos_pos[0] == want, (b, hyp)
+        assert np.isfinite(np.asarray(scores[:, 0])).all()
+
+    def test_match_source_len_semantics(self):
+        # min=max=src: output length equals the source length exactly
+        tables = _logp([[1, 1, 5, 10, 1, 1]] * 8)  # eos is competitive
+        gen = SequenceGenerator(_table_step(tables), lambda b, l: (),
+                                vocab_size=V, beam_size=2, max_len=8,
+                                eos=EOS, pad=PAD, len_penalty=0.0,
+                                min_len=0, min_len_a=1.0,
+                                max_len_a=1.0, max_len_b=0)
+        tokens, _ = gen.generate(
+            batch=2, src_lengths=jnp.asarray([3.0, 5.0]))
+        for b, want in [(0, 3), (1, 5)]:
+            hyp = np.asarray(tokens[b, 0, 1:])
+            eos_pos = np.where(hyp == EOS)[0]
+            assert len(eos_pos) and eos_pos[0] == want, (b, hyp)
+
+    def test_scaled_lengths_require_src_lengths(self):
+        gen = SequenceGenerator(_table_step(_logp([[1] * V])),
+                                lambda b, l: (), vocab_size=V, beam_size=2,
+                                max_len=4, eos=EOS, pad=PAD, max_len_a=1.0)
+        with pytest.raises(ValueError):
+            gen.generate(batch=1)
+
+
+class TestToppSampling:
+    def test_top_p_truncates_to_nucleus(self):
+        import jax
+
+        from efficient_attention_tpu.generation.beam_search import (
+            sample_decode,
+        )
+
+        # token 3 holds ~0.9 of the mass: top_p=0.5 keeps only token 3
+        table = _logp([[1, 1, 1e-6, 900, 50, 48]])
+
+        def step_fn(cache, tokens, step):
+            B = tokens.shape[0]
+            return jnp.broadcast_to(jnp.asarray(table[0], jnp.float32),
+                                    (B, V)), cache
+
+        toks, scores = sample_decode(
+            step_fn, lambda b, l: (), batch=4, max_len=5, bos=EOS, eos=EOS,
+            rng=jax.random.PRNGKey(0), top_p=0.5, return_scores=True)
+        assert (np.asarray(toks) == 3).all()
+        # nucleus of one token -> per-step logp 0 under the renormalized
+        # truncated distribution
+        assert np.allclose(np.asarray(scores), 0.0, atol=1e-5)
