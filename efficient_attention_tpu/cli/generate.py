@@ -57,11 +57,22 @@ def parse_args(argv=None):
                              "(fairseq --constraints)")
     parser.add_argument("--bpe", default=None,
                         help="raw-text BPE scheme for interactive input "
-                             "(subword_nmt; fairseq/data/encoders/)")
+                             "(subword_nmt/bytes/characters/gpt2/"
+                             "sentencepiece; fairseq/data/encoders/)")
     parser.add_argument("--bpe-codes", default=None,
                         help="subword-nmt codes file")
+    parser.add_argument("--gpt2-encoder-json", default=None,
+                        help="local encoder.json for --bpe gpt2")
+    parser.add_argument("--gpt2-vocab-bpe", default=None,
+                        help="local vocab.bpe for --bpe gpt2")
+    parser.add_argument("--sentencepiece-model", default=None,
+                        help="model file for --bpe sentencepiece")
     parser.add_argument("--tokenizer", default=None,
-                        help="raw-text pre-tokenizer (space)")
+                        help="raw-text pre-tokenizer (space/moses/nltk)")
+    parser.add_argument("--moses-no-dash-splits", action="store_true",
+                        default=False)
+    parser.add_argument("--moses-no-escape", action="store_true",
+                        default=True)
     parser.add_argument("--results-path", default=None,
                         help="write fairseq-style S-/T-/H- generation output "
                              "(gen.out) here, consumable by "

@@ -31,8 +31,8 @@ def cli_main(argv=None):
     td = Dictionary.load(os.path.join(args.data, f"dict.{args.target_lang}.txt"))
     # raw-text input path (fairseq_cli/interactive.py encode_fn): tokenizer
     # then BPE before dictionary lookup, both reversed on output
-    bpe = build_bpe(args.bpe, getattr(args, "bpe_codes", None))
-    tokenizer = build_tokenizer(args.tokenizer)
+    bpe = build_bpe(args.bpe, getattr(args, "bpe_codes", None), args=args)
+    tokenizer = build_tokenizer(args.tokenizer, args=args)
 
     def encode_fn(text):
         if tokenizer is not None:

@@ -49,14 +49,114 @@ class TestSubwordNMT:
         assert build_bpe("subword_nmt", codes) is not None
         with pytest.raises(ValueError):
             build_bpe("subword_nmt")
+        with pytest.raises(ValueError):
+            build_bpe("gpt2")  # requires --gpt2-encoder-json/--gpt2-vocab-bpe
         with pytest.raises(NotImplementedError):
-            build_bpe("gpt2")
+            build_bpe("fastbpe")
         assert build_tokenizer(None) is None
         assert isinstance(build_tokenizer("space"), SpaceTokenizer)
 
     def test_space_tokenizer_normalizes(self):
         t = SpaceTokenizer()
         assert t.encode("  a\tb   c ") == "a b c"
+
+
+class TestByteLevel:
+    """``encoders/{bytes,characters}.py`` + ``byte_utils.py`` semantics."""
+
+    def test_characters_roundtrip(self):
+        from efficient_attention_tpu.data.encoders import CharactersBPE
+
+        enc = CharactersBPE.encode("ab cd")
+        # every char is a token; the space is escaped to U+2581
+        assert enc == "a b ▁ c d"
+        assert CharactersBPE.decode(enc) == "ab cd"
+
+    def test_bytes_roundtrip_ascii_and_utf8(self):
+        from efficient_attention_tpu.data.encoders import BytesBPE
+
+        for text in ("hello world", "café 中文"):
+            enc = BytesBPE.encode(text)
+            assert all(len(tok) == 1 for tok in enc.split())
+            assert BytesBPE.decode(enc) == text
+
+    def test_smart_byte_decode_recovers_broken_stream(self):
+        from efficient_attention_tpu.data.encoders import (
+            byte_encode,
+            smart_byte_decode,
+        )
+
+        good = byte_encode("中文")  # 6 bytes, 2 chars
+        # drop one continuation byte: plain decode fails, smart decode
+        # recovers the surviving character
+        broken = good[:2] + good[3:]
+        assert smart_byte_decode(broken) == "文"
+
+
+class TestGPT2BPE:
+    @pytest.fixture
+    def gpt2_files(self, tmp_path):
+        import json
+
+        # Ġ = chr(0x120) is GPT-2's byte-encoding of the space byte
+        enc = {"h": 0, "e": 1, "l": 2, "o": 3, "ll": 4, "Ġ": 5}
+        (tmp_path / "encoder.json").write_text(json.dumps(enc),
+                                               encoding="utf-8")
+        (tmp_path / "vocab.bpe").write_text("#version: 0.2\nl l\n",
+                                            encoding="utf-8")
+        return str(tmp_path / "encoder.json"), str(tmp_path / "vocab.bpe")
+
+    def test_encode_decode(self, gpt2_files):
+        from efficient_attention_tpu.data.encoders import GPT2BPE
+
+        bpe = GPT2BPE(*gpt2_files)
+        ids = bpe.encode("hello hello")
+        # 'hello' -> h e ll o; ' hello' -> Ġ h e ll o (the merge l+l
+        # applies inside each pre-token)
+        assert ids == "0 1 4 3 5 0 1 4 3"
+        assert bpe.decode(ids) == "hello hello"
+
+    def test_space_byte_uses_gpt2_map(self, gpt2_files):
+        from efficient_attention_tpu.data.encoders import (
+            _gpt2_bytes_to_unicode,
+        )
+
+        table = _gpt2_bytes_to_unicode()
+        assert table[ord(" ")] == "Ġ"
+        assert len(set(table.values())) == 256  # bijective
+
+    def test_registry_via_args(self, gpt2_files):
+        import argparse
+
+        bpe = build_bpe("gpt2", args=argparse.Namespace(
+            gpt2_encoder_json=gpt2_files[0], gpt2_vocab_bpe=gpt2_files[1]))
+        assert bpe.decode(bpe.encode("hello")) == "hello"
+
+
+class TestTokenizers:
+    def test_moses_roundtrip(self):
+        t = build_tokenizer("moses", args=None)
+        enc = t.encode("Hello, world! It's a test.")
+        assert enc.split()[1] == ","  # punctuation split off
+        assert t.decode(enc) == "Hello, world! It's a test."
+
+    def test_nltk_gated(self):
+        try:
+            t = build_tokenizer("nltk")
+            enc = t.encode("Hello, world.")
+        except (ImportError, LookupError):
+            pytest.skip("nltk punkt data unavailable")
+        assert "," in enc.split()
+
+    def test_sentencepiece_gated(self):
+        import argparse
+
+        try:
+            import sentencepiece  # noqa: F401
+        except ImportError:
+            with pytest.raises((ImportError, ValueError)):
+                build_bpe("sentencepiece",
+                          args=argparse.Namespace(sentencepiece_model="x"))
 
 
 class TestInteractiveRawText:
