@@ -57,6 +57,28 @@ def build_parser():
                    help="abort after this many CONSECUTIVE skipped updates "
                         "(non-finite loss/grad -> skip + continue, the bf16 "
                         "analogue of fairseq trainer.py:911-920)")
+    p.add_argument("--disable-validation", action="store_true",
+                   help="never run validation (fairseq --disable-validation)")
+    p.add_argument("--validate-interval-updates", type=int, default=0,
+                   help="also validate every N updates (fairseq "
+                        "--validate-interval-updates; 0 = only at each "
+                        "epoch end)")
+    p.add_argument("--eval-bleu", action="store_true",
+                   help="compute BLEU on the valid subset during "
+                        "validation (fairseq translation task --eval-bleu, "
+                        "reference tasks/translation.py:370-500)")
+    p.add_argument("--eval-bleu-args", default=None,
+                   help='JSON generation args, e.g. \'{"beam": 4, '
+                        '"lenpen": 0.6, "max_len_b": 200}\'')
+    p.add_argument("--eval-bleu-remove-bpe", nargs="?", const="@@ ",
+                   default=None,
+                   help="strip BPE before scoring (fairseq "
+                        "--eval-bleu-remove-bpe)")
+    p.add_argument("--eval-bleu-print-samples", action="store_true",
+                   help="print one hypothesis/reference pair per "
+                        "validation (fairseq --eval-bleu-print-samples)")
+    p.add_argument("--eval-bleu-subset-size", type=int, default=64,
+                   help="cap on valid sentences decoded for in-train BLEU")
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
@@ -91,13 +113,15 @@ def parse_args(argv=None):
     return apply_yaml_config(args, parser, argv)
 
 
-def load_pairs(args):
-    """Returns (src_dataset, tgt_dataset, src_dict, tgt_dict)."""
+def load_pairs(args, split: str = "train"):
+    """Returns (src_dataset, tgt_dataset, src_dict, tgt_dict) for a split."""
     if args.dummy_data or not args.data:
-        rng = np.random.default_rng(args.seed)
+        rng = np.random.default_rng(args.seed + (0 if split == "train" else 1))
 
         class _Dummy:
             def __init__(self, n=512, vmax=args.dummy_vocab):
+                if split != "train":
+                    n = 64
                 self.seqs = [
                     np.concatenate([
                         rng.integers(4, vmax, size=rng.integers(5, 24)),
@@ -120,8 +144,10 @@ def load_pairs(args):
 
     sd = Dictionary.load(os.path.join(args.data, f"dict.{args.source_lang}.txt"))
     td = Dictionary.load(os.path.join(args.data, f"dict.{args.target_lang}.txt"))
-    src = MMapIndexedDataset(os.path.join(args.data, f"train.{args.source_lang}"))
-    tgt = MMapIndexedDataset(os.path.join(args.data, f"train.{args.target_lang}"))
+    src = MMapIndexedDataset(
+        os.path.join(args.data, f"{split}.{args.source_lang}"))
+    tgt = MMapIndexedDataset(
+        os.path.join(args.data, f"{split}.{args.target_lang}"))
     return src, tgt, sd, td
 
 
@@ -167,7 +193,10 @@ def main(args) -> dict:
         inverse_sqrt_schedule,
         make_optimizer,
     )
-    from efficient_attention_tpu.training.lm_steps import make_mt_train_step
+    from efficient_attention_tpu.training.lm_steps import (
+        make_mt_eval_step,
+        make_mt_train_step,
+    )
 
     src, tgt, sd, td = load_pairs(args)
     src_vocab = len(sd) if sd else args.dummy_vocab
@@ -232,9 +261,127 @@ def main(args) -> dict:
         from efficient_attention_tpu.training.azureml_sink import AzureMLLogger
 
         aml = AzureMLLogger(True, log_dir=args.save_dir)
+    # ---- validation (fairseq train.py validate_and_save; translation
+    # task valid_step + optional --eval-bleu, translation.py:370-500) ----
+    vsrc, vtgt, _, _ = load_pairs(args, split="valid")
+    vpairs = LanguagePairDataset(vsrc, vtgt)
+    eval_step = make_mt_eval_step(pad_idx=1,
+                                  label_smoothing=args.label_smoothing)
+    jit_eval = jax.jit(
+        lambda p, s, pv, t: eval_step(p, model.apply, s, pv, t))
+    # drop examples beyond the model's positional table, like fairseq's
+    # max-positions filtering of the batch iterator (data_utils.py
+    # filter_by_size; --skip-invalid-size-inputs-valid-test)
+    vsizes = np.maximum(vpairs.src_sizes, vpairs.tgt_sizes)
+    valid_ids = np.flatnonzero(vsizes <= args.max_len)
+    gen_args = json.loads(args.eval_bleu_args) if args.eval_bleu_args else {}
+
+    def bleu_validate(params) -> float:
+        """In-train BLEU over a capped valid subset (translation.py
+        ``_inference_with_bleu``): beam decode, optional BPE removal,
+        corpus BLEU over the post-processed word sequences."""
+        from efficient_attention_tpu.generation import SequenceGenerator
+        from efficient_attention_tpu.models.transformer import (
+            TransformerModel,
+        )
+        from efficient_attention_tpu.scoring.bleu import (
+            BleuScorer,
+            WordIdMapper,
+        )
+
+        K = int(gen_args.get("beam", 4))
+        scorer = BleuScorer()
+        word_ids = WordIdMapper()
+        ids = valid_ids[: args.eval_bleu_subset_size].tolist()
+        printed = False
+        for i in range(0, len(ids), 8):
+            chunk = ids[i: i + 8]
+            samples = [vpairs[int(j)] for j in chunk]
+            src_b = jnp.asarray(collate_tokens([s for s, _ in samples],
+                                               pad_idx=1))
+            enc_out, enc_pad = model.apply(params, src_b,
+                                           method=TransformerModel.encode)
+            enc_out_k = jnp.repeat(enc_out, K, axis=0)
+            enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
+
+            def step_fn(cache, tokens, step):
+                logits, cache = model.apply(
+                    params, cache, tokens, step, enc_out_k, enc_pad_k,
+                    method=TransformerModel.decode_step)
+                return logits[:, 0], cache
+
+            buf_len = (int(gen_args.get("max_len_a", 0) * src_b.shape[1])
+                       + int(gen_args.get("max_len_b", 2 * src_b.shape[1])))
+            gen = SequenceGenerator(
+                step_fn,
+                lambda bk, ml: model.apply(
+                    params, bk, ml, method=TransformerModel.init_decode_state),
+                vocab_size=tgt_vocab, beam_size=K, max_len=buf_len,
+                len_penalty=float(gen_args.get("lenpen", 1.0)),
+                pad=1, eos=2)
+            tokens, _ = gen.generate(batch=src_b.shape[0])
+            for b, j in enumerate(chunk):
+                hyp = np.asarray(tokens[b, 0, 1:])
+                eos_pos = np.where(hyp == 2)[0]
+                if len(eos_pos):
+                    hyp = hyp[: eos_pos[0]]
+                ref = np.asarray(vpairs[int(j)][1])
+                ref = ref[ref != 2]
+                if td is not None:
+                    hyp_s, ref_s = td.string(hyp), td.string(ref)
+                    if args.eval_bleu_remove_bpe:
+                        rb = args.eval_bleu_remove_bpe
+                        hyp_s = (hyp_s + " ").replace(rb, "").rstrip()
+                        ref_s = (ref_s + " ").replace(rb, "").rstrip()
+                    if args.eval_bleu_print_samples and not printed:
+                        print(f"| example hypothesis: {hyp_s}")
+                        print(f"| example reference:  {ref_s}")
+                        printed = True
+                    scorer.add(word_ids(ref_s), word_ids(hyp_s))
+                else:
+                    if args.eval_bleu_print_samples and not printed:
+                        print(f"| example hypothesis: {hyp.tolist()}")
+                        print(f"| example reference:  {ref.tolist()}")
+                        printed = True
+                    scorer.add(ref.tolist(), hyp.tolist())
+        return scorer.score()
+
+    def validate(state) -> dict:
+        if args.disable_validation:
+            return {}
+        loss_sum = nll_sum = tok_sum = 0.0
+        vorder = valid_ids[np.argsort(vsizes[valid_ids], kind="stable")]
+        for bidx in batch_by_size(vorder, vsizes, args.max_tokens):
+            samples = [vpairs[int(i)] for i in bidx]
+            s = jnp.asarray(collate_tokens([a for a, _ in samples], pad_idx=1))
+            t = jnp.asarray(collate_tokens([b for _, b in samples], pad_idx=1))
+            pv = jnp.asarray(collate_tokens(
+                [b for _, b in samples], pad_idx=1,
+                move_eos_to_beginning=True))
+            ls, ns, nt = jit_eval(state.params, s, pv, t)
+            loss_sum += float(ls)
+            nll_sum += float(ns)
+            tok_sum += float(nt)
+        n = max(tok_sum, 1.0)
+        vm = {"valid_loss": loss_sum / n,
+              "valid_nll_loss": nll_sum / n,
+              "valid_ppl": math.exp(min(nll_sum / n, 50.0))}
+        if args.eval_bleu:
+            vm["valid_bleu"] = bleu_validate(state.params)
+        print("| valid " + " ".join(f"{k.removeprefix('valid_')} {v:.3f}"
+                                    for k, v in vm.items()))
+        return vm
+
     consec_skips = 0
+    train_ok = sizes <= args.max_len
+    n_dropped = int((~train_ok).sum())
+    if n_dropped:
+        print(f"| WARNING: {n_dropped} train examples exceed --max-len "
+              f"{args.max_len} and were dropped (fairseq max-positions "
+              "filtering)")
     while int(state.step) < args.max_update:
         order = order_rng.permutation(len(pairs))
+        order = order[train_ok[order]]
         order = order[np.argsort(sizes[order], kind="stable")]
         # each batch must split into update_freq microbatches that each
         # shard evenly over the devices
@@ -286,6 +433,18 @@ def main(args) -> dict:
                     aml.log(scalars, step=step)
             ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
+            if (args.validate_interval_updates > 0
+                    and step % args.validate_interval_updates == 0):
+                vm = validate(state)
+                stats.update(vm)
+                for sink in (tb, wb, aml):
+                    if sink is not None:
+                        (sink.add_scalars if sink is tb else sink.log)(
+                            vm, step=step)
+        # epoch boundary: fairseq validates once per epoch
+        # (train.py validate_and_save)
+        if skip == 0 and int(state.step) > 0:
+            stats.update(validate(state))
     ckpt.wait()
     print(json.dumps(stats))
     return stats

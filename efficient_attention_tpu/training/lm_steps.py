@@ -153,3 +153,17 @@ def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
         return state.apply_gradients(grads), StepMetrics(loss, grad_norm)
 
     return train_step
+
+
+def make_mt_eval_step(pad_idx: int = 1, label_smoothing: float = 0.1):
+    """Validation loss for the translation task (``fairseq_cli/train.py``
+    ``validate`` -> ``task.valid_step``): summed smoothed loss / raw NLL /
+    token count, deterministic forward."""
+
+    def eval_step(params, apply_fn, src, prev, targets):
+        logits = apply_fn(params, src, prev, deterministic=True)
+        loss_sum, nll_sum, ntokens = label_smoothed_nll_loss(
+            logits, targets, epsilon=label_smoothing, pad_idx=pad_idx)
+        return loss_sum, nll_sum, ntokens
+
+    return eval_step

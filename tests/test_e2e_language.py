@@ -119,8 +119,15 @@ def test_mt_pipeline_preprocess_train_generate(tmp_path):
         "--optimizer", "adam", "--lr", "5e-3", "--warmup-updates", "5",
         "--max-update", "80", "--log-interval", "40",
         "--save-interval-updates", "20", "--label-smoothing", "0.0",
+        "--eval-bleu", "--eval-bleu-args", '{"beam": 2, "max_len_b": 16}',
+        "--eval-bleu-subset-size", "16",
     ])
     assert math.isfinite(stats["loss"])
+    # in-train validation ran at the epoch boundary (fairseq
+    # validate_and_save + translation-task --eval-bleu)
+    assert math.isfinite(stats["valid_loss"])
+    # reversal task after 80 updates: far above chance BLEU on valid too
+    assert stats["valid_bleu"] > 10.0, stats
 
     result = generate.cli_main(common + [
         "--optimizer", "adam", "--max-update", "80",
