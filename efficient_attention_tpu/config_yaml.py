@@ -142,6 +142,9 @@ def apply_yaml_config(args: argparse.Namespace,
     cfg_norm = {k.replace("-", "_"): v for k, v in cfg.items()}
     for key, val in cfg.items():
         dest = key.replace("-", "_")
+        if dest == "task":
+            # reserved routing key consumed by cli/hydra_train.py
+            continue
         if isinstance(val, dict):
             # a nested group configures the class its sibling *name* key
             # selects; if the CLI overrode that class, the group's args

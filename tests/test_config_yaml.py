@@ -192,3 +192,54 @@ class TestReviewRegressions:
         args = parse_args(["--config", str(cfg),
                            "--attn-name-decoder=softmax"])
         assert args.attn_name_decoder == "softmax"
+
+
+class TestHydraTrain:
+    """``cli/hydra_train.py`` — fairseq_cli/hydra_train.py surface."""
+
+    def test_override_translation(self):
+        from efficient_attention_tpu.cli.hydra_train import (
+            _override_to_flags,
+            parse_overrides,
+        )
+
+        assert _override_to_flags("lr", "1e-3") == ["--lr", "1e-3"]
+        assert _override_to_flags("eval_bleu", "true") == ["--eval-bleu"]
+        assert _override_to_flags(
+            "attn_args_encoder.window_size", "8"
+        ) == ["--encoder-attn-window-size", "8"]
+        task, argv = parse_overrides(
+            ["task=translation", "max_update=5", "update_freq=2"])
+        assert task == "translation"
+        assert argv == ["--max-update", "5", "--update-freq", "2"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_overrides(["not-an-override"])
+        with _pytest.raises(ValueError):
+            _override_to_flags("eval_bleu", "false")
+
+    def test_task_inference(self):
+        from efficient_attention_tpu.cli.hydra_train import _infer_task
+
+        assert _infer_task("wikitext103_causal_eva") == "language_modeling"
+        assert _infer_task("wmt14_eva") == "translation"
+        assert _infer_task("imagenet_deit_eva") == "image_classification"
+        assert _infer_task("mystery") is None
+
+    def test_end_to_end_runs_lm(self, tmp_path):
+        """hydra_train routes a recipe + overrides into the LM trainer."""
+        from efficient_attention_tpu.cli import hydra_train
+
+        cfg = tmp_path / "tiny_lm.yaml"
+        cfg.write_text(
+            "task: language_modeling\n"
+            "attn_name_decoder: softmax\n")
+        stats = hydra_train.cli_main([
+            "--config-dir", str(tmp_path), "--config-name", "tiny_lm",
+            "dummy_data=true", "max_update=2", "max_tokens=256",
+            "tokens_per_sample=16", "decoder_embed_dim=32",
+            "decoder_ffn_embed_dim=32", "decoder_layers=1",
+            "decoder_attention_heads=2",
+            f"save_dir={tmp_path}/ckpt", "log_interval=1"])
+        assert stats["step"] == 2
