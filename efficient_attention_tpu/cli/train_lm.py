@@ -88,6 +88,12 @@ def build_parser():
                         "(non-finite loss/grad -> skip + continue, the bf16 "
                         "analogue of fairseq trainer.py:911-920; fairseq "
                         "aborts when the loss scale bottoms out)")
+    p.add_argument("--disable-validation", action="store_true",
+                   help="never run validation (fairseq --disable-validation)")
+    p.add_argument("--validate-interval-updates", type=int, default=0,
+                   help="validate on the valid split every N updates "
+                        "(fairseq --validate-interval-updates; 0 = only "
+                        "once at the end of training)")
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
@@ -119,18 +125,19 @@ def parse_args(argv=None):
     return apply_yaml_config(args, parser, argv)
 
 
-def load_corpus(args):
+def load_corpus(args, split: str = "train"):
     if args.dummy_data or not args.data:
-        rng = np.random.default_rng(args.seed)
+        rng = np.random.default_rng(
+            args.seed + (0 if split == "train" else 1))
         vocab_size = args.dummy_vocab
-        tokens = rng.integers(4, vocab_size,
-                              size=args.max_tokens * 64).astype(np.int64)
+        n = args.max_tokens * (64 if split == "train" else 4)
+        tokens = rng.integers(4, vocab_size, size=n).astype(np.int64)
         return tokens, None, vocab_size
     from efficient_attention_tpu.data.dictionary import Dictionary
     from efficient_attention_tpu.data.indexed_dataset import MMapIndexedDataset
 
     d = Dictionary.load(os.path.join(args.data, "dict.txt"))
-    ds = MMapIndexedDataset(os.path.join(args.data, "train"))
+    ds = MMapIndexedDataset(os.path.join(args.data, split))
     return ds.flat_tokens(), d, len(d)
 
 
@@ -485,6 +492,47 @@ def main(args) -> dict:
 
         aml = AzureMLLogger(True, log_dir=args.save_dir)
 
+    # ---- in-train validation (fairseq train.py validate_and_save):
+    # valid-split loss/ppl every --validate-interval-updates and once at
+    # the end of training ----
+    valid_blocks = None
+    if not args.disable_validation:
+        try:
+            vtokens, _, _ = load_corpus(args, split="valid")
+            valid_blocks = TokenBlockDataset(
+                vtokens, args.tokens_per_sample + 1, pad_idx=1)
+        except FileNotFoundError:
+            print("| no valid split found; skipping in-train validation")
+    jit_valid = None
+    if valid_blocks is not None:
+        from efficient_attention_tpu.training.lm_steps import (
+            make_lm_eval_step,
+        )
+
+        _ev = make_lm_eval_step(
+            use_adaptive=model.adaptive_cutoffs is not None, pad_idx=1)
+        jit_valid = jax.jit(
+            lambda p, t, g, m: _ev(p, model.apply, t, g, m))
+
+    def validate(state) -> dict:
+        if jit_valid is None:
+            return {}
+        nll_sum = tok_sum = 0.0
+        vb = max(1, args.max_tokens // args.tokens_per_sample)
+        n = (len(valid_blocks) // vb) * vb
+        for i in range(0, n, vb):
+            batch = np.stack([valid_blocks[j] for j in range(i, i + vb)])
+            t_in = jnp.asarray(batch[:, :-1])
+            t_tg = jnp.asarray(batch[:, 1:])
+            ns, nt = jit_valid(state.params, t_in, t_tg,
+                               jnp.ones_like(t_tg, bool))
+            nll_sum += float(ns)
+            tok_sum += float(nt)
+        nll = nll_sum / max(tok_sum, 1.0)
+        vm = {"valid_loss": nll, "valid_ppl": math.exp(min(nll, 50.0))}
+        print(f"| valid loss {nll:.3f} ppl {vm['valid_ppl']:.2f}")
+        return vm
+
     t0 = time.time()
     stats = {}
     consec_skips = 0
@@ -525,6 +573,16 @@ def main(args) -> dict:
         ckpt.save(step, state)
         stats = {"step": step, "loss": loss,
                  "ppl": math.exp(min(loss, 20))}
+        if (args.validate_interval_updates > 0
+                and step % args.validate_interval_updates == 0):
+            vm = validate(state)
+            stats.update(vm)
+            for sink in (tb, wb, aml):
+                if sink is not None:
+                    (sink.add_scalars if sink is tb else sink.log)(
+                        vm, step=step)
+    # final validation (fairseq validates before exiting)
+    stats.update(validate(state))
     ckpt.wait()
     print(json.dumps(stats))
     return stats

@@ -75,6 +75,9 @@ def test_lm_pipeline_preprocess_train_eval(tmp_path):
     # the cyclic corpus is near-deterministic; a learning model gets well
     # below uniform ppl (~17) quickly
     assert stats["ppl"] < 8.0, stats
+    # in-train validation ran on the valid split (fairseq
+    # validate_and_save) and the model generalizes on the cyclic corpus
+    assert stats["valid_ppl"] < 10.0, stats
 
     result = eval_lm.cli_main(common + [
         "--optimizer", "adamw", "--lr-scheduler", "inverse_sqrt",
