@@ -88,6 +88,12 @@ def build_parser():
                         "(non-finite loss/grad -> skip + continue, the bf16 "
                         "analogue of fairseq trainer.py:911-920; fairseq "
                         "aborts when the loss scale bottoms out)")
+    p.add_argument("--store-ema", action="store_true",
+                   help="maintain an exponential moving average of the "
+                        "params (fairseq EMA, dataclass/configs.py:"
+                        "1057-1082); saved inside the checkpoint")
+    p.add_argument("--ema-decay", type=float, default=0.9999,
+                   help="EMA decay (fairseq --ema-decay)")
     p.add_argument("--disable-validation", action="store_true",
                    help="never run validation (fairseq --disable-validation)")
     p.add_argument("--validate-interval-updates", type=int, default=0,
@@ -424,7 +430,9 @@ def main(args) -> dict:
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(args.seed), dummy))()
     tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
                         clip_grad=args.clip_norm, params_for_mask=params)
-    state = TrainState.create(model.apply, params, tx)
+    state = TrainState.create(
+        model.apply, params, tx,
+        ema_decay=args.ema_decay if args.store_ema else 0.0)
 
     repl = NamedSharding(mesh, P())
     if sp > 1:

@@ -57,6 +57,12 @@ def build_parser():
                    help="abort after this many CONSECUTIVE skipped updates "
                         "(non-finite loss/grad -> skip + continue, the bf16 "
                         "analogue of fairseq trainer.py:911-920)")
+    p.add_argument("--store-ema", action="store_true",
+                   help="maintain an exponential moving average of the "
+                        "params (fairseq EMA, dataclass/configs.py:"
+                        "1057-1082); saved inside the checkpoint")
+    p.add_argument("--ema-decay", type=float, default=0.9999,
+                   help="EMA decay (fairseq --ema-decay)")
     p.add_argument("--disable-validation", action="store_true",
                    help="never run validation (fairseq --disable-validation)")
     p.add_argument("--validate-interval-updates", type=int, default=0,
@@ -215,7 +221,9 @@ def main(args) -> dict:
     tx = make_optimizer(args.optimizer, schedule, weight_decay=0.0,
                         clip_grad=args.clip_norm or None,
                         params_for_mask=params, betas=tuple(betas))
-    state = TrainState.create(model.apply, params, tx)
+    state = TrainState.create(
+        model.apply, params, tx,
+        ema_decay=args.ema_decay if args.store_ema else 0.0)
     train_step = make_mt_train_step(
         pad_idx=1, label_smoothing=args.label_smoothing,
         accum_steps=args.update_freq)

@@ -220,3 +220,54 @@ def test_mt_resume_is_bit_stable(tmp_path):
         common + ["--max-update", "16", "--save-dir", str(tmp_path / "b")])
     assert resumed["step"] == 16 and straight["step"] == 16
     assert resumed["loss"] == straight["loss"], (straight, resumed)
+
+
+def test_lm_store_ema_tracks_and_persists(tmp_path):
+    """--store-ema on the LM trainer keeps an EMA copy in the TrainState
+    and the checkpoint (fairseq EMA, dataclass/configs.py:1057-1082)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_attention_tpu.cli import train_lm
+    from efficient_attention_tpu.training import (
+        CheckpointManager,
+        TrainState,
+        make_optimizer,
+    )
+
+    save_dir = tmp_path / "ema_ckpt"
+    argv = [
+        "--dummy-data", "--dummy-vocab", "64", "--max-update", "3",
+        "--max-tokens", "128", "--tokens-per-sample", "16",
+        "--decoder-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+        "--decoder-layers", "1", "--decoder-attention-heads", "2",
+        "--criterion", "cross_entropy", "--optimizer", "adamw",
+        "--lr", "1e-2", "--lr-scheduler", "inverse_sqrt",
+        "--store-ema", "--ema-decay", "0.5",
+        "--save-dir", str(save_dir), "--save-interval-updates", "1",
+        "--log-interval", "10", "--disable-validation",
+    ]
+    train_lm.cli_main(argv)
+
+    args = train_lm.parse_args(argv)
+    _, _, vocab = train_lm.load_corpus(args)
+    model = train_lm.build_model(args, vocab)
+    dummy = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(args.seed), dummy)
+    from efficient_attention_tpu.training import inverse_sqrt_schedule
+    schedule = inverse_sqrt_schedule(args.lr, args.warmup_updates,
+                                     args.warmup_init_lr)
+    tx = make_optimizer("adamw", schedule, weight_decay=0.0,
+                        clip_grad=args.clip_norm, params_for_mask=params)
+    template = TrainState.create(model.apply, params, tx, ema_decay=0.5)
+    mgr = CheckpointManager(str(save_dir / "ckpt"))
+    state = mgr.restore(template, step=mgr.latest_step())
+    assert state.ema_params is not None
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    e_leaves = jax.tree_util.tree_leaves(state.ema_params)
+    assert all(np.isfinite(np.asarray(e)).all() for e in e_leaves)
+    # after 3 updates with decay 0.5 the EMA lags the live params
+    diffs = [float(np.abs(np.asarray(p) - np.asarray(e)).max())
+             for p, e in zip(p_leaves, e_leaves)]
+    assert max(diffs) > 0.0
