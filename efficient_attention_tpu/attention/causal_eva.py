@@ -110,6 +110,11 @@ class CausalEVAttention(nn.Module):
     # all-gathered (parallel/seq_parallel.py — the TPU-idiomatic replacement
     # for ring attention, SURVEY §5 long-context)
     seq_axis: Optional[str] = None
+    # iPQ quantization noise on the q/k/v/out projections (the reference
+    # carries its own quant_noise copy, ``causal_eva.py:118-215``, and
+    # applies it at ``causal_eva.py:339-430``)
+    q_noise: float = 0.0
+    qn_block_size: int = 8
 
     @property
     def head_dim(self) -> int:
@@ -131,16 +136,20 @@ class CausalEVAttention(nn.Module):
                 self.window_size >= self.chunk_size
                 and self.window_size % self.chunk_size == 0
             ), "window_size must be a positive multiple of chunk_size"
+        from efficient_attention_tpu.models.quant_noise import dense
+
         self.dropout_module = nn.Dropout(self.dropout)
-        self.q_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
-                               kernel_init=xavier_half, name="q_proj")
-        self.k_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
-                               kernel_init=xavier_half, name="k_proj")
-        self.v_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
-                               kernel_init=xavier_half, name="v_proj")
-        self.out_proj = nn.Dense(self.embed_dim, use_bias=self.bias,
-                                 kernel_init=xavier,
-                                 bias_init=nn.initializers.zeros, name="out_proj")
+        qn = (self.q_noise, self.qn_block_size)
+        self.q_proj = dense(self.embed_dim, *qn, use_bias=self.bias,
+                            kernel_init=xavier_half, name="q_proj")
+        self.k_proj = dense(self.embed_dim, *qn, use_bias=self.bias,
+                            kernel_init=xavier_half, name="k_proj")
+        self.v_proj = dense(self.embed_dim, *qn, use_bias=self.bias,
+                            kernel_init=xavier_half, name="v_proj")
+        self.out_proj = dense(self.embed_dim, *qn, use_bias=self.bias,
+                              kernel_init=xavier,
+                              bias_init=nn.initializers.zeros,
+                              name="out_proj")
         if self.adaptive_proj == "qk":
             self.adaptive_mu_q = nn.Sequential(
                 [nn.Dense(self.head_dim, kernel_init=xavier_half), nn.LayerNorm()],
@@ -203,7 +212,7 @@ class CausalEVAttention(nn.Module):
                                            itemsize=itemsize))
 
     def _forward_packed(self, qp, kp, vp, rf_k_bar, beta, rf_chunk_size,
-                        tgt_len):
+                        tgt_len, deterministic=True):
         """Fused Pallas parallel path (``ops/pallas/causal_packed.py``):
         consumes the packed ``[B, N, H*D]`` projections and the head-major
         chunk summaries; the XLA path's ``[b, h, g, i, c]`` control-variate
@@ -225,10 +234,12 @@ class CausalEVAttention(nn.Module):
             tab = tab + bias.astype(jnp.float32)
         rf_pk = jnp.swapaxes(rf_k_bar, 1, 2).reshape(B, -1, hd)
         beta_pk = jnp.swapaxes(beta, 1, 2).reshape(B, -1, hd)
+        from efficient_attention_tpu.models.quant_noise import qn_call
+
         out = causal_eva_packed(
             qp, kp, vp, rf_pk, beta_pk, self.scaling, self.num_heads,
             w, rf_chunk_size, bias_tab=tab, interpret=not on_tpu())
-        return self.out_proj(out)[:, :tgt_len]
+        return qn_call(self.out_proj, out, deterministic)[:, :tgt_len]
 
     # ------------------------------------------------------------- parallel --
     def __call__(
@@ -265,9 +276,12 @@ class CausalEVAttention(nn.Module):
             return jnp.swapaxes(
                 t.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
 
-        qp = self.q_proj(query)   # packed [B, N, H*D] (kernel layout)
-        kp = self.k_proj(key)
-        vp = self.v_proj(value)
+        from efficient_attention_tpu.models.quant_noise import qn_call
+
+        # packed [B, N, H*D] (kernel layout)
+        qp = qn_call(self.q_proj, query, deterministic)
+        kp = qn_call(self.k_proj, key, deterministic)
+        vp = qn_call(self.v_proj, value, deterministic)
         q, k, v = split(qp), split(kp), split(vp)
 
         if key_padding_mask is None:
@@ -342,12 +356,13 @@ class CausalEVAttention(nn.Module):
                 self.seq_axis, rf_chunk_size, bias=bias,
                 dropout_rate=self.dropout, dropout_rng=drop_rng)
             x = jnp.swapaxes(W.window_1d_merge(out), 1, 2).reshape(B, N, C)
-            return self.out_proj(x)
+            return qn_call(self.out_proj, x, deterministic)
 
         if self._packed_ok(B, N, tgt_len, had_mask, deterministic,
                            rf_chunk_size, qp.dtype.itemsize):
             return self._forward_packed(
-                qp, kp, vp, rf_k_bar, beta, rf_chunk_size, tgt_len)
+                qp, kp, vp, rf_k_bar, beta, rf_chunk_size, tgt_len,
+                deterministic=deterministic)
         if self.impl == "packed":
             raise ValueError(
                 "impl='packed' requires causal mode, no overlap halo, "
@@ -402,7 +417,7 @@ class CausalEVAttention(nn.Module):
 
         output = W.window_1d_merge(output_snis + output_local)  # [b, h, n, d]
         x = jnp.swapaxes(output, 1, 2).reshape(B, N, C)
-        x = self.out_proj(x)
+        x = qn_call(self.out_proj, x, deterministic)
         return x[:, :tgt_len]
 
     # ---------------------------------------------------------- incremental --

@@ -30,6 +30,30 @@ def build_parser():
     p.add_argument("--decoder-layers", type=int, default=16)
     p.add_argument("--decoder-attention-heads", type=int, default=8)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--checkpoint-activations", action="store_true",
+                   help="rematerialize each layer in the backward "
+                        "(nn.remat) instead of storing activations "
+                        "(reference transformer_config.py:165)")
+    p.add_argument("--decoder-layerdrop", type=float, default=0.0,
+                   help="LayerDrop probability for decoder layers "
+                        "(fairseq LayerDropModuleList)")
+    p.add_argument("--activation-fn", default="relu",
+                   choices=["relu", "gelu", "gelu_fast", "gelu_accurate",
+                            "relu_squared", "tanh", "linear"],
+                   help="FFN activation (fairseq --activation-fn)")
+    p.add_argument("--decoder-learned-pos", action="store_true",
+                   help="learned positional embeddings instead of "
+                        "sinusoidal (fairseq --decoder-learned-pos)")
+    p.add_argument("--quant-noise-pq", type=float, default=0.0,
+                   help="iPQ quantization noise: drop this fraction of "
+                        "block_size-wide weight blocks during training "
+                        "(fairseq modules/quant_noise.py)")
+    p.add_argument("--quant-noise-pq-block-size", type=int, default=8)
+    p.add_argument("--decoder-layers-to-keep", default=None,
+                   help="comma-separated layer indices to keep when "
+                        "loading a full-depth checkpoint into a shallower "
+                        "model (fairseq prune_state_dict, "
+                        "checkpoint_utils.py:674); e.g. '0,2,4'")
     p.add_argument("--tokens-per-sample", type=int, default=512)
     p.add_argument("--max-tokens", type=int, default=9216)
     p.add_argument("--update-freq", type=int, default=1)
@@ -167,11 +191,17 @@ def build_model(args, vocab_size, seq_axis=None):
         import jax
 
         base_experts = jax.device_count()
+    from efficient_attention_tpu.training.checkpoint import (
+        parse_layers_to_keep,
+    )
+
+    keep = parse_layers_to_keep(
+        getattr(args, "decoder_layers_to_keep", None))
     return TransformerLM(
         vocab_size=vocab_size,
         embed_dim=args.decoder_embed_dim,
         ffn_dim=args.decoder_ffn_embed_dim,
-        num_layers=args.decoder_layers,
+        num_layers=len(keep) if keep else args.decoder_layers,
         num_heads=args.decoder_attention_heads,
         attn_name=args.attn_name_decoder,
         attn_args=attn_args,
@@ -187,6 +217,13 @@ def build_model(args, vocab_size, seq_axis=None):
         base_experts=base_experts,
         base_sublayers=getattr(args, "base_sublayers", 1),
         base_shuffle=getattr(args, "base_shuffle", False),
+        checkpoint_activations=getattr(args, "checkpoint_activations", False),
+        layerdrop=getattr(args, "decoder_layerdrop", 0.0),
+        quant_noise_pq=getattr(args, "quant_noise_pq", 0.0),
+        quant_noise_pq_block_size=getattr(
+            args, "quant_noise_pq_block_size", 8),
+        activation_fn=getattr(args, "activation_fn", "relu"),
+        learned_pos=getattr(args, "decoder_learned_pos", False),
     )
 
 

@@ -31,12 +31,38 @@ def build_parser():
     p.add_argument("--encoder-embed-dim", type=int, default=512)
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=2048)
     p.add_argument("--encoder-layers", type=int, default=6)
+    p.add_argument("--decoder-layers", type=int, default=None,
+                   help="decoder depth (defaults to --encoder-layers)")
     p.add_argument("--encoder-attention-heads", type=int, default=8)
+    p.add_argument("--encoder-layers-to-keep", default=None,
+                   help="comma-separated encoder layer indices to keep "
+                        "when loading a full-depth checkpoint (fairseq "
+                        "prune_state_dict); e.g. '0,2,4'")
+    p.add_argument("--activation-fn", default="relu",
+                   choices=["relu", "gelu", "gelu_fast", "gelu_accurate",
+                            "relu_squared", "tanh", "linear"],
+                   help="FFN activation (fairseq --activation-fn)")
+    p.add_argument("--encoder-learned-pos", action="store_true")
+    p.add_argument("--decoder-learned-pos", action="store_true")
+    p.add_argument("--quant-noise-pq", type=float, default=0.0,
+                   help="iPQ quantization noise: drop this fraction of "
+                        "block_size-wide weight blocks during training "
+                        "(fairseq modules/quant_noise.py)")
+    p.add_argument("--quant-noise-pq-block-size", type=int, default=8)
+    p.add_argument("--decoder-layers-to-keep", default=None)
     p.add_argument("--share-all-embeddings", action="store_true",
                    help="one embedding table for encoder/decoder/output "
                         "(the WMT recipe, reference main.sh:147; requires "
                         "a joint vocabulary)")
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--checkpoint-activations", action="store_true",
+                   help="rematerialize each layer in the backward "
+                        "(nn.remat) instead of storing activations "
+                        "(reference transformer_config.py:165)")
+    p.add_argument("--encoder-layerdrop", type=float, default=0.0,
+                   help="LayerDrop probability for encoder layers "
+                        "(fairseq LayerDropModuleList)")
+    p.add_argument("--decoder-layerdrop", type=float, default=0.0)
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--update-freq", type=int, default=1)
@@ -163,11 +189,23 @@ def build_model(args, src_vocab, tgt_vocab):
     from efficient_attention_tpu.config import namespace_to_dict
     from efficient_attention_tpu.models.transformer import TransformerModel
 
+    from efficient_attention_tpu.training.checkpoint import (
+        parse_layers_to_keep,
+    )
+
+    enc_keep = parse_layers_to_keep(
+        getattr(args, "encoder_layers_to_keep", None))
+    dec_keep = parse_layers_to_keep(
+        getattr(args, "decoder_layers_to_keep", None))
+    dec_layers = getattr(args, "decoder_layers", None)
+    if dec_layers is None:
+        dec_layers = args.encoder_layers
     return TransformerModel(
         src_vocab_size=src_vocab, tgt_vocab_size=tgt_vocab,
         embed_dim=args.encoder_embed_dim,
         ffn_dim=args.encoder_ffn_embed_dim,
-        num_layers=args.encoder_layers,
+        num_layers=(len(enc_keep) if enc_keep else args.encoder_layers),
+        num_decoder_layers=(len(dec_keep) if dec_keep else dec_layers),
         num_heads=args.encoder_attention_heads,
         attn_name_encoder=args.attn_name_encoder,
         attn_args_encoder=namespace_to_dict(
@@ -176,7 +214,16 @@ def build_model(args, src_vocab, tgt_vocab):
         attn_args_decoder=namespace_to_dict(
             getattr(args, "attn_args_decoder", _ap.Namespace())),
         dropout=args.dropout, max_len=args.max_len,
-        share_all_embeddings=getattr(args, "share_all_embeddings", False))
+        share_all_embeddings=getattr(args, "share_all_embeddings", False),
+        checkpoint_activations=getattr(args, "checkpoint_activations", False),
+        encoder_layerdrop=getattr(args, "encoder_layerdrop", 0.0),
+        decoder_layerdrop=getattr(args, "decoder_layerdrop", 0.0),
+        quant_noise_pq=getattr(args, "quant_noise_pq", 0.0),
+        quant_noise_pq_block_size=getattr(
+            args, "quant_noise_pq_block_size", 8),
+        activation_fn=getattr(args, "activation_fn", "relu"),
+        encoder_learned_pos=getattr(args, "encoder_learned_pos", False),
+        decoder_learned_pos=getattr(args, "decoder_learned_pos", False))
 
 
 def main(args) -> dict:

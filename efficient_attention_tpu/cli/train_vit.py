@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="warm-start params from a converted reference "
                              "checkpoint (convert_checkpoint msgpack)")
     parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--checkpoint-activations", action="store_true",
+                        help="rematerialize each block in the backward "
+                             "(nn.remat) instead of storing activations")
     parser.add_argument("--throughput", action="store_true")
     parser.add_argument("--num-workers", default=8, type=int)
     parser.add_argument("--accum-steps", default=1, type=int)
@@ -188,7 +191,9 @@ def main(args) -> dict:
         attn_name=args.attn_name, attn_args=attn_args,
         img_size=args.input_size, num_classes=args.num_classes,
         drop_rate=args.drop, drop_path_rate=args.drop_path,
-        attn_drop_rate=args.attn_drop_rate)
+        attn_drop_rate=args.attn_drop_rate,
+        checkpoint_activations=getattr(args, "checkpoint_activations",
+                                       False))
     if not args.model.startswith("pvt"):
         model_kwargs.update(
             patchify_stem=getattr(args, "patchify_stem", "default"),

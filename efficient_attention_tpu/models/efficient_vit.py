@@ -72,6 +72,12 @@ class EfficientTransformer(nn.Module):
     patchify_stem: str = "default"
     use_glu: bool = False
     use_pos_emb: bool = True
+    # ``--checkpoint-activations``: rematerialize each block in the
+    # backward (``nn.remat``) instead of storing its activations — the
+    # TPU-native form of fairseq's ``checkpoint_wrapper`` applied to the
+    # vision stack (the reference vit has no flag for it; the fairseq
+    # substrate does, ``transformer_config.py:165``)
+    checkpoint_activations: bool = False
 
     def setup(self):
         self.patch_embed = PatchEmbed(
@@ -120,8 +126,16 @@ class EfficientTransformer(nn.Module):
             x = x + self.pos_embed
             x = self.pos_drop(x, deterministic=deterministic)
         B, H, W, C = x.shape
-        for blk in self.blocks:
-            x = blk(x, deterministic=deterministic)
+        if self.checkpoint_activations and not deterministic:
+            def apply(mdl, h):
+                return mdl(h, deterministic=False)
+
+            apply = nn.remat(apply)
+            for blk in self.blocks:
+                x = apply(blk, x)
+        else:
+            for blk in self.blocks:
+                x = blk(x, deterministic=deterministic)
         x = self.norm_before_pooling(x.reshape(B, H * W, C))
         return jnp.mean(x, axis=1)
 

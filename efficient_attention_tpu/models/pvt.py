@@ -89,6 +89,9 @@ class PyramidVisionTransformerV2(nn.Module):
     drop_path_rate: float = 0.1
     linear: bool = False
     use_conv_patchify: bool = False
+    # ``--checkpoint-activations``: nn.remat each block in training (see
+    # ``efficient_vit.EfficientTransformer.checkpoint_activations``)
+    checkpoint_activations: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -106,7 +109,7 @@ class PyramidVisionTransformerV2(nn.Module):
                 name=f"patch_embed{i + 1}",
             )(x)
             for j in range(self.depths[i]):
-                x = PVTBlock(
+                blk = PVTBlock(
                     attn_name=self.attn_name,
                     attn_args=dict(self.attn_args),
                     dim=self.embed_dims[i],
@@ -119,7 +122,14 @@ class PyramidVisionTransformerV2(nn.Module):
                     drop_path=dpr[cur + j],
                     linear=self.linear,
                     name=f"block{i + 1}_{j}",
-                )(x, deterministic=deterministic)
+                )
+                if self.checkpoint_activations and not deterministic:
+                    def apply(mdl, h):
+                        return mdl(h, deterministic=False)
+
+                    x = nn.remat(apply)(blk, x)
+                else:
+                    x = blk(x, deterministic=deterministic)
             cur += self.depths[i]
             x = nn.LayerNorm(epsilon=1e-6, name=f"norm{i + 1}")(x)
         x = jnp.mean(x, axis=(1, 2))

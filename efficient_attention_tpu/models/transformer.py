@@ -44,23 +44,81 @@ def sinusoidal_positions(max_len: int, dim: int, offset: int = 2) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def get_activation_fn(name: str):
+    """fairseq ``--activation-fn`` registry (``fairseq/utils.py``
+    ``get_available_activation_fns``): relu (default), gelu (exact erf),
+    gelu_accurate (tanh approximation), relu_squared, tanh, linear."""
+    table = {
+        "relu": jax.nn.relu,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_fast": lambda x: jax.nn.gelu(x, approximate=True),
+        "gelu_accurate": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu_squared": lambda x: jnp.square(jax.nn.relu(x)),
+        "tanh": jnp.tanh,
+        "linear": lambda x: x,
+    }
+    if name not in table:
+        raise ValueError(f"unknown activation {name!r} "
+                         f"(choices: {sorted(table)})")
+    return table[name]
+
+
+def _run_layer(layer, arrays, *, remat, layerdrop, parent, deterministic):
+    """Apply one transformer layer through the runtime-substrate wrappers.
+
+    - ``remat`` (``--checkpoint-activations``; reference
+      ``transformer_config.py:165`` + ``modules/checkpoint_activations.py``):
+      wraps the call in ``nn.remat`` so the backward pass rematerializes the
+      layer instead of storing its activations — the TPU-native form of the
+      reference's ``checkpoint_wrapper`` (trade one extra forward per layer
+      for O(depth) activation HBM).  Applied only in training; eval has no
+      backward to save for.
+    - ``layerdrop`` (fairseq ``LayerDropModuleList``,
+      ``transformer_encoder.py:91-92``): in training the whole layer is
+      skipped (identity) with probability p, one draw per layer per forward
+      shared across the batch.  Under jit the layer is still traced and
+      computed — data-dependent compute skipping would require dynamic
+      shapes — so the skip is a select on its output, which preserves the
+      reference's math (a dropped layer IS the identity) at static shapes.
+
+    ``arrays`` are positional array arguments (differentiated through the
+    remat boundary); everything static rides the ``deterministic`` closure.
+    """
+    def apply(mdl, *xs):
+        return mdl(*xs, deterministic=deterministic)
+
+    if remat and not deterministic:
+        apply = nn.remat(apply)
+    out = apply(layer, *arrays)
+    if layerdrop > 0.0 and not deterministic:
+        keep = (jax.random.uniform(parent.make_rng("dropout"), ())
+                >= layerdrop)
+        out = jnp.where(keep, out, arrays[0])
+    return out
+
+
 class CrossAttention(nn.Module):
     """Exact softmax encoder-decoder attention with static encoder kv."""
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    q_noise: float = 0.0
+    qn_block_size: int = 8
 
     @property
     def head_dim(self):
         return self.embed_dim // self.num_heads
 
     def setup(self):
+        from efficient_attention_tpu.models.quant_noise import dense
+
         init = nn.initializers.xavier_uniform()
-        self.q_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.k_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.v_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.out_proj = nn.Dense(self.embed_dim, kernel_init=init)
+        qn = (self.q_noise, self.qn_block_size)
+        self.q_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.k_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.v_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.out_proj = dense(self.embed_dim, *qn, kernel_init=init)
         self.attn_dropout = nn.Dropout(self.dropout)
 
     def _split(self, x, B):
@@ -68,10 +126,12 @@ class CrossAttention(nn.Module):
             x.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
 
     def __call__(self, x, enc_out, enc_padding_mask=None, deterministic=True):
+        from efficient_attention_tpu.models.quant_noise import qn_call
+
         B = x.shape[0]
-        q = self._split(self.q_proj(x), B)
-        k = self._split(self.k_proj(enc_out), B)
-        v = self._split(self.v_proj(enc_out), B)
+        q = self._split(qn_call(self.q_proj, x, deterministic), B)
+        k = self._split(qn_call(self.k_proj, enc_out, deterministic), B)
+        v = self._split(qn_call(self.v_proj, enc_out, deterministic), B)
         logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits * self.head_dim**-0.5
@@ -82,7 +142,7 @@ class CrossAttention(nn.Module):
         attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.embed_dim)
-        return self.out_proj(out)
+        return qn_call(self.out_proj, out, deterministic)
 
 
 class KVCache(NamedTuple):
@@ -100,18 +160,24 @@ class CausalSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    q_noise: float = 0.0
+    qn_block_size: int = 8
 
     @property
     def head_dim(self):
         return self.embed_dim // self.num_heads
 
     def setup(self):
+        from efficient_attention_tpu.models.quant_noise import dense
+
         init = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
-        self.q_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.k_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.v_proj = nn.Dense(self.embed_dim, kernel_init=init)
-        self.out_proj = nn.Dense(self.embed_dim,
-                                 kernel_init=nn.initializers.xavier_uniform())
+        qn = (self.q_noise, self.qn_block_size)
+        self.q_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.k_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.v_proj = dense(self.embed_dim, *qn, kernel_init=init)
+        self.out_proj = dense(
+            self.embed_dim, *qn,
+            kernel_init=nn.initializers.xavier_uniform())
         self.attn_dropout = nn.Dropout(self.dropout)
 
     def _split(self, x, B):
@@ -119,10 +185,12 @@ class CausalSelfAttention(nn.Module):
             x.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
 
     def __call__(self, x, key_padding_mask=None, deterministic=True):
+        from efficient_attention_tpu.models.quant_noise import qn_call
+
         B, T, _ = x.shape
-        q = self._split(self.q_proj(x), B)
-        k = self._split(self.k_proj(x), B)
-        v = self._split(self.v_proj(x), B)
+        q = self._split(qn_call(self.q_proj, x, deterministic), B)
+        k = self._split(qn_call(self.k_proj, x, deterministic), B)
+        v = self._split(qn_call(self.v_proj, x, deterministic), B)
         logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits * self.head_dim**-0.5
@@ -137,7 +205,7 @@ class CausalSelfAttention(nn.Module):
         attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(B, T, self.embed_dim)
-        return self.out_proj(out)
+        return qn_call(self.out_proj, out, deterministic)
 
     def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
         shape = (batch_size, self.num_heads, max_len, self.head_dim)
@@ -175,9 +243,16 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     activation_dropout: float = 0.0
     normalize_before: bool = False
+    activation_fn: str = "relu"
+    # ``--quant-noise-pq`` / ``--quant-noise-pq-block-size`` (iPQ
+    # quantization noise on fc1/fc2, ``fairseq/modules/quant_noise.py``)
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
+        from efficient_attention_tpu.models.quant_noise import dense, qn_call
+
         attn = AttentionFactory.build_attention(
             self.attn_name,
             {**self.attn_args, "dim": self.embed_dim,
@@ -196,10 +271,16 @@ class EncoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = ln2(x)
-        x = nn.Dense(self.ffn_dim)(x)
-        x = jax.nn.relu(x)
+        qn = (self.quant_noise_pq, self.quant_noise_pq_block_size)
+        # explicit names keep the param layout identical to the plain
+        # nn.Dense auto-names, so enabling quant noise never changes the
+        # checkpoint structure
+        x = qn_call(dense(self.ffn_dim, *qn, name="Dense_0"), x,
+                    deterministic)
+        x = get_activation_fn(self.activation_fn)(x)
         x = nn.Dropout(self.activation_dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.embed_dim)(x)
+        x = qn_call(dense(self.embed_dim, *qn, name="Dense_1"), x,
+                    deterministic)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = residual + x
         if not self.normalize_before:
@@ -223,12 +304,21 @@ class DecoderLayer(nn.Module):
     # sequence parallelism (mesh axis name; requires causal_eva self-attn
     # and running inside shard_map — parallel/seq_parallel.py)
     seq_axis: Optional[str] = None
+    activation_fn: str = "relu"
+    # iPQ quantization noise (``--quant-noise-pq``): applied to fc1/fc2
+    # and every attention projection, as in fairseq's decoder layer
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
 
     def setup(self):
+        from efficient_attention_tpu.models.quant_noise import dense
+
         if self.attn_name == "causal_eva":
             self.self_attn = CausalEVAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 dropout=self.dropout, causal=True, seq_axis=self.seq_axis,
+                q_noise=self.quant_noise_pq,
+                qn_block_size=self.quant_noise_pq_block_size,
                 **{k: v for k, v in self.attn_args.items()
                    if k in ("window_size", "overlap_window", "num_chunks",
                             "chunk_size", "adaptive_proj", "use_t5_rpe",
@@ -240,7 +330,8 @@ class DecoderLayer(nn.Module):
                     "self-attention (softmax attends across shards)")
             self.self_attn = CausalSelfAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dropout=self.dropout)
+                dropout=self.dropout, q_noise=self.quant_noise_pq,
+                qn_block_size=self.quant_noise_pq_block_size)
         else:
             raise NotImplementedError(
                 f"decoder attention {self.attn_name} (reference supports "
@@ -249,10 +340,12 @@ class DecoderLayer(nn.Module):
         if self.has_cross:
             self.cross_attn = CrossAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dropout=self.dropout)
+                dropout=self.dropout, q_noise=self.quant_noise_pq,
+                qn_block_size=self.quant_noise_pq_block_size)
             self.ln_cross = nn.LayerNorm(epsilon=1e-5)
-        self.fc1 = nn.Dense(self.ffn_dim)
-        self.fc2 = nn.Dense(self.embed_dim)
+        qn = (self.quant_noise_pq, self.quant_noise_pq_block_size)
+        self.fc1 = dense(self.ffn_dim, *qn)
+        self.fc2 = dense(self.embed_dim, *qn)
         self.ln_ffn = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
         self.act_drop = nn.Dropout(self.activation_dropout)
@@ -287,9 +380,12 @@ class DecoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = self.ln_ffn(x)
-        x = jax.nn.relu(self.fc1(x))
+        from efficient_attention_tpu.models.quant_noise import qn_call
+
+        x = get_activation_fn(self.activation_fn)(
+            qn_call(self.fc1, x, deterministic))
         x = self.act_drop(x, deterministic=deterministic)
-        x = self.fc2(x)
+        x = qn_call(self.fc2, x, deterministic)
         x = self.drop(x, deterministic=deterministic)
         x = residual + x
         if not self.normalize_before:
@@ -320,7 +416,7 @@ class DecoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = self.ln_ffn(x)
-        x = self.fc2(jax.nn.relu(self.fc1(x)))
+        x = self.fc2(get_activation_fn(self.activation_fn)(self.fc1(x)))
         x = residual + x
         if not self.normalize_before:
             x = self.ln_ffn(x)
@@ -342,9 +438,23 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = False
     pad_idx: int = 1
     learned_pos: bool = False
+    activation_fn: str = "relu"
     # shared encoder/decoder embedding (``--share-all-embeddings``): the
     # parent model creates the Embed once and passes the bound module down
     embed_module: Optional[nn.Module] = None
+    # ``--checkpoint-activations`` (reference
+    # ``transformer_config.py:165``, ``checkpoint_activations.py``):
+    # rematerialize each layer in the backward instead of storing its
+    # activations — the TPU form is ``nn.remat`` (jax.checkpoint), which
+    # trades one extra forward per layer for O(depth) activation HBM
+    checkpoint_activations: bool = False
+    # ``--encoder-layerdrop`` (fairseq ``LayerDropModuleList``,
+    # ``transformer_encoder.py:91-92``): during training each layer is
+    # skipped — as a whole, per forward — with this probability; eval
+    # always runs every layer
+    layerdrop: float = 0.0
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
 
     def setup(self):
         if self.embed_module is not None:
@@ -354,14 +464,25 @@ class TransformerEncoder(nn.Module):
                 self.vocab_size, self.embed_dim,
                 embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
-        self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
+        if self.learned_pos:
+            # fairseq LearnedPositionalEmbedding (``--encoder-learned-pos``)
+            self._pos = self.param(
+                "embed_positions", nn.initializers.normal(0.02),
+                (self.max_len, self.embed_dim))
+        else:
+            self._pos = jnp.asarray(
+                sinusoidal_positions(self.max_len, self.embed_dim))
         self.embed_dropout = nn.Dropout(self.dropout)
         self.layers = [
             EncoderLayer(
                 embed_dim=self.embed_dim, ffn_dim=self.ffn_dim,
                 num_heads=self.num_heads, attn_name=self.attn_name,
                 attn_args=dict(self.attn_args), dropout=self.dropout,
-                normalize_before=self.normalize_before, name=f"layer_{i}")
+                normalize_before=self.normalize_before,
+                activation_fn=self.activation_fn,
+                quant_noise_pq=self.quant_noise_pq,
+                quant_noise_pq_block_size=self.quant_noise_pq_block_size,
+                name=f"layer_{i}")
             for i in range(self.num_layers)]
         if self.normalize_before:
             self.final_ln = nn.LayerNorm(epsilon=1e-5)
@@ -373,8 +494,11 @@ class TransformerEncoder(nn.Module):
         x = x + self._pos[:T][None]
         x = self.embed_dropout(x, deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, key_padding_mask=padding_mask,
-                      deterministic=deterministic)
+            x = _run_layer(
+                layer, (x, padding_mask),
+                remat=self.checkpoint_activations,
+                layerdrop=self.layerdrop, parent=self,
+                deterministic=deterministic)
         if self.normalize_before:
             x = self.final_ln(x)
         return x, padding_mask
@@ -415,6 +539,14 @@ class TransformerDecoder(nn.Module):
     base_experts: int = 0
     base_sublayers: int = 1
     base_shuffle: bool = False
+    # ``--checkpoint-activations`` / ``--decoder-layerdrop`` (see
+    # ``_run_layer``)
+    checkpoint_activations: bool = False
+    layerdrop: float = 0.0
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
+    learned_pos: bool = False
+    activation_fn: str = "relu"
 
     def setup(self):
         if self.embed_module is not None:
@@ -432,7 +564,14 @@ class TransformerDecoder(nn.Module):
                 self.vocab_size, self.embed_dim,
                 embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
-        self._pos = jnp.asarray(sinusoidal_positions(self.max_len, self.embed_dim))
+        if self.learned_pos:
+            # fairseq LearnedPositionalEmbedding (``--decoder-learned-pos``)
+            self._pos = self.param(
+                "embed_positions", nn.initializers.normal(0.02),
+                (self.max_len, self.embed_dim))
+        else:
+            self._pos = jnp.asarray(
+                sinusoidal_positions(self.max_len, self.embed_dim))
         self.embed_dropout = nn.Dropout(self.dropout)
         self.layers = [
             DecoderLayer(
@@ -441,6 +580,9 @@ class TransformerDecoder(nn.Module):
                 attn_args=dict(self.attn_args), dropout=self.dropout,
                 normalize_before=self.normalize_before,
                 has_cross=self.has_cross, seq_axis=self.seq_axis,
+                activation_fn=self.activation_fn,
+                quant_noise_pq=self.quant_noise_pq,
+                quant_noise_pq_block_size=self.quant_noise_pq_block_size,
                 name=f"layer_{i}")
             for i in range(self.num_layers)]
         if self.normalize_before and self.final_norm:
@@ -507,9 +649,11 @@ class TransformerDecoder(nn.Module):
         bi = 0
         for j, layer in enumerate(self.layers):
             x, bi = self._run_base(x, bi, j, deterministic)
-            x = layer(x, enc_out=enc_out, enc_padding_mask=enc_padding_mask,
-                      self_padding_mask=padding_mask,
-                      deterministic=deterministic)
+            x = _run_layer(
+                layer, (x, enc_out, enc_padding_mask, padding_mask),
+                remat=self.checkpoint_activations,
+                layerdrop=self.layerdrop, parent=self,
+                deterministic=deterministic)
         x, bi = self._run_base(x, bi, self.num_layers, deterministic)
         if self.normalize_before and self.final_norm:
             x = self.final_ln(x)
@@ -550,6 +694,9 @@ class TransformerModel(nn.Module):
     embed_dim: int = 512
     ffn_dim: int = 2048
     num_layers: int = 6
+    # decoder depth when different from the encoder's
+    # (``--decoder-layers``; fairseq configures the two independently)
+    num_decoder_layers: Optional[int] = None
     num_heads: int = 8
     attn_name_encoder: str = "softmax"
     attn_args_encoder: Dict[str, Any] = field(default_factory=dict)
@@ -562,6 +709,14 @@ class TransformerModel(nn.Module):
     # one embedding table shared by encoder input, decoder input, and the
     # decoder output projection (requires a joint vocabulary)
     share_all_embeddings: bool = False
+    checkpoint_activations: bool = False
+    encoder_layerdrop: float = 0.0
+    decoder_layerdrop: float = 0.0
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
+    activation_fn: str = "relu"
+    encoder_learned_pos: bool = False
+    decoder_learned_pos: bool = False
 
     def setup(self):
         shared = None
@@ -579,14 +734,28 @@ class TransformerModel(nn.Module):
             num_heads=self.num_heads, attn_name=self.attn_name_encoder,
             attn_args=dict(self.attn_args_encoder), dropout=self.dropout,
             max_len=self.max_len, pad_idx=self.pad_idx,
-            embed_module=shared)
+            embed_module=shared,
+            checkpoint_activations=self.checkpoint_activations,
+            layerdrop=self.encoder_layerdrop,
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_pq_block_size=self.quant_noise_pq_block_size,
+            activation_fn=self.activation_fn,
+            learned_pos=self.encoder_learned_pos)
         self.decoder = TransformerDecoder(
             vocab_size=self.tgt_vocab_size, embed_dim=self.embed_dim,
-            ffn_dim=self.ffn_dim, num_layers=self.num_layers,
+            ffn_dim=self.ffn_dim,
+            num_layers=(self.num_layers if self.num_decoder_layers is None
+                        else self.num_decoder_layers),
             num_heads=self.num_heads, attn_name=self.attn_name_decoder,
             attn_args=dict(self.attn_args_decoder), dropout=self.dropout,
             max_len=self.max_len, pad_idx=self.pad_idx, has_cross=True,
-            embed_module=shared)
+            embed_module=shared,
+            checkpoint_activations=self.checkpoint_activations,
+            layerdrop=self.decoder_layerdrop,
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_pq_block_size=self.quant_noise_pq_block_size,
+            activation_fn=self.activation_fn,
+            learned_pos=self.decoder_learned_pos)
 
     def __call__(self, src_tokens, prev_output_tokens, deterministic=True):
         enc_out, enc_padding = self.encoder(src_tokens,
@@ -635,6 +804,12 @@ class TransformerLM(nn.Module):
     base_experts: int = 0
     base_sublayers: int = 1
     base_shuffle: bool = False
+    checkpoint_activations: bool = False
+    layerdrop: float = 0.0
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
+    activation_fn: str = "relu"
+    learned_pos: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -650,7 +825,13 @@ class TransformerLM(nn.Module):
             base_layers=self.base_layers,
             base_experts=self.base_experts,
             base_sublayers=self.base_sublayers,
-            base_shuffle=self.base_shuffle)
+            base_shuffle=self.base_shuffle,
+            checkpoint_activations=self.checkpoint_activations,
+            layerdrop=self.layerdrop,
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_pq_block_size=self.quant_noise_pq_block_size,
+            activation_fn=self.activation_fn,
+            learned_pos=self.learned_pos)
         if self.adaptive_cutoffs:
             from efficient_attention_tpu.models.adaptive_softmax import (
                 AdaptiveSoftmax,

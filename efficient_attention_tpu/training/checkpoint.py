@@ -84,6 +84,48 @@ class CheckpointManager:
         self.manager.close()
 
 
+def prune_layer_params(params: Any, layers_to_keep, scope: str,
+                       prefix: str = "layer_") -> Any:
+    """Keep only the listed transformer layers of one scope and renumber
+    them densely — the LayerDrop inference-time pruning of fairseq's
+    ``prune_state_dict`` (``checkpoint_utils.py:674``, "Reducing
+    Transformer Depth on Demand"): a model trained with layerdrop can be
+    evaluated with any subset of its layers, so ``--decoder-layers-to-keep
+    0,2,4`` loads a 3-layer model from a full-depth checkpoint.
+
+    ``params`` is a flax param pytree (with or without the outer
+    ``{"params": ...}`` wrapper); ``scope`` is the submodule holding the
+    ``layer_{i}`` children (``"decoder"`` / ``"encoder"``).
+    """
+    keep = sorted(int(i) for i in layers_to_keep)
+    root = dict(params)
+    tree = root
+    if "params" in tree:
+        root["params"] = tree = dict(tree["params"])
+    if scope not in tree:
+        raise KeyError(f"scope {scope!r} not in checkpoint "
+                       f"(has {sorted(tree)})")
+    sub = dict(tree[scope])
+    old_layers = {k for k in sub if k.startswith(prefix)}
+    for i in keep:
+        if f"{prefix}{i}" not in old_layers:
+            raise ValueError(
+                f"layer {i} not in checkpoint ({len(old_layers)} layers)")
+    pruned = {k: v for k, v in sub.items() if k not in old_layers}
+    for new_i, old_i in enumerate(keep):
+        pruned[f"{prefix}{new_i}"] = sub[f"{prefix}{old_i}"]
+    tree[scope] = pruned
+    return root
+
+
+def parse_layers_to_keep(spec: Optional[str]):
+    """``"0,2,4"`` -> [0, 2, 4]; None/'' -> None (fairseq's
+    ``--encoder-layers-to-keep`` / ``--decoder-layers-to-keep`` format)."""
+    if not spec:
+        return None
+    return [int(x) for x in str(spec).replace(" ", "").split(",") if x != ""]
+
+
 def average_checkpoints(states: List[Any]) -> Any:
     """Uniform parameter averaging over N restored param pytrees
     (``scripts/average_checkpoints.py`` — the MT recipe averages the last 10
