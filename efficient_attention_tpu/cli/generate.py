@@ -33,6 +33,24 @@ def parse_args(argv=None):
                         help="force each output to its source's length "
                              "(LengthConstrainedBeamSearch with "
                              "min=max=src_len)")
+    parser.add_argument("--nbest", type=int, default=1,
+                        help="emit the top-N beam hypotheses per sentence "
+                             "(fairseq --nbest); BLEU uses the best")
+    parser.add_argument("--unnormalized", action="store_true",
+                        help="do not length-normalize hypothesis scores "
+                             "(fairseq --unnormalized)")
+    parser.add_argument("--unkpen", type=float, default=0.0,
+                        help="per-step penalty subtracted from the <unk> "
+                             "log-prob (fairseq --unkpen)")
+    parser.add_argument("--no-repeat-ngram-size", type=int, default=0,
+                        help="ban repeating n-grams of this size during "
+                             "beam search (fairseq --no-repeat-ngram-size; "
+                             "the ngram_repeat_block port)")
+    parser.add_argument("--score-reference", action="store_true",
+                        help="score the reference translations with the "
+                             "model instead of generating (fairseq "
+                             "--score-reference, sequence_scorer.py); "
+                             "emits P- per-token score lines")
     parser.add_argument("--sampling", action="store_true",
                         help="sample instead of beam search "
                              "(fairseq --sampling; beam size 1)")
@@ -116,9 +134,22 @@ def load_params(args, model, template_params):
         _, p = mgr.restore_params(step=s)
         param_sets.append(jax.device_get(p))
     print(f"| averaged {len(param_sets)} checkpoints: {take}")
-    if len(param_sets) == 1:
-        return param_sets[0]
-    return average_checkpoints(param_sets)
+    params = (param_sets[0] if len(param_sets) == 1
+              else average_checkpoints(param_sets))
+    # LayerDrop inference-time pruning (fairseq prune_state_dict,
+    # checkpoint_utils.py:674): full-depth checkpoint -> shallower model
+    from efficient_attention_tpu.training.checkpoint import (
+        parse_layers_to_keep,
+        prune_layer_params,
+    )
+
+    for flag, scope in (("encoder_layers_to_keep", "encoder"),
+                        ("decoder_layers_to_keep", "decoder")):
+        keep = parse_layers_to_keep(getattr(args, flag, None))
+        if keep:
+            params = prune_layer_params(params, keep, scope)
+            print(f"| pruned {scope} to layers {keep}")
+    return params
 
 
 def main(args) -> dict:
@@ -170,7 +201,11 @@ def main(args) -> dict:
             logits, states = model.apply(
                 params, states, tokens, step, enc_out_k, enc_pad_k,
                 method=TransformerModel.decode_step)
-            return logits[:, 0], states
+            out = logits[:, 0]
+            if args.unkpen:
+                # fairseq SequenceGenerator: lprobs[:, unk] -= unk_penalty
+                out = out.at[:, 3].add(-args.unkpen)
+            return out, states
 
         def init_cache(bk, max_len):
             return model.apply(params, bk, max_len,
@@ -187,7 +222,30 @@ def main(args) -> dict:
             len_kw = dict(min_len=args.min_len, max_len_a=args.max_len_a,
                           max_len_b=(args.max_len_b if args.max_len_a > 0
                                      else None))
-        if args.sampling:
+        pscores = None
+        if args.score_reference:
+            # teacher-forcing scoring of the references (fairseq
+            # --score-reference -> SequenceScorer.generate): one parallel
+            # forward, per-token log-probs of the gold target
+            tgt_b = collate_tokens([tgt[j] for j in chunk], pad_idx=1)
+            prev_b = collate_tokens([tgt[j] for j in chunk], pad_idx=1,
+                                    move_eos_to_beginning=True)
+            logits = model.apply(params, jnp.asarray(src_b),
+                                 jnp.asarray(prev_b))
+            lp = np.asarray(jax.nn.log_softmax(logits, axis=-1),
+                            np.float32)
+            tok_lp = np.take_along_axis(
+                lp, np.asarray(tgt_b)[..., None], axis=-1)[..., 0]
+            mask = np.asarray(tgt_b) != 1
+            tok_lp = np.where(mask, tok_lp, 0.0)
+            # hypothesis IS the reference; score = avg token log-prob
+            tokens = jnp.asarray(np.concatenate(
+                [np.full((B, 1), 2, np.int64), tgt_b], axis=1))[:, None, :]
+            scores = jnp.asarray(
+                tok_lp.sum(axis=1) / np.maximum(mask.sum(axis=1), 1)
+            )[:, None]
+            pscores = tok_lp
+        elif args.sampling:
             toks_flat, samp_scores = sample_decode(
                 step_fn, init_cache, B, buf_len, bos=2, eos=2,
                 rng=jax.random.fold_in(
@@ -202,7 +260,9 @@ def main(args) -> dict:
         else:
             gen = SequenceGenerator(
                 step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
-                max_len=buf_len, len_penalty=args.lenpen,
+                max_len=buf_len,
+                len_penalty=0.0 if args.unnormalized else args.lenpen,
+                no_repeat_ngram_size=args.no_repeat_ngram_size,
                 diversity_groups=max(args.diverse_beam_groups, 1),
                 diversity_strength=args.diverse_beam_strength,
                 diverse_siblings_gamma=max(args.diversity_rate, 0.0),
@@ -246,6 +306,20 @@ def main(args) -> dict:
                 gen_lines.append(f"S-{j}\t{src_str}")
                 gen_lines.append(f"T-{j}\t{ref_str}")
                 gen_lines.append(f"H-{j}\t{scores[b, 0]:.4f}\t{hyp_str}")
+                # --nbest: runner-up hypotheses after the 1-best
+                for k in range(1, min(args.nbest, tokens.shape[1])):
+                    hk = np.asarray(tokens[b, k, 1:])
+                    ek = np.where(hk == 2)[0]
+                    if len(ek):
+                        hk = hk[: ek[0] + 1]
+                    gen_lines.append(
+                        f"H-{j}\t{scores[b, k]:.4f}\t"
+                        + post_process(td.string(hk)))
+                if pscores is not None:
+                    n_tok = int((np.asarray(tgt[j]) != 1).sum())
+                    gen_lines.append("P-{}\t{}".format(
+                        j, " ".join(f"{v:.4f}"
+                                    for v in pscores[b, :n_tok])))
     result = {"bleu": scorer.score(), "sentences": n_out,
               "detail": scorer.result_string()}
     print("| " + scorer.result_string())

@@ -103,6 +103,26 @@ def make_lm_eval_step(use_adaptive: bool = False, pad_idx: int = 1):
     return eval_step
 
 
+def make_lm_token_nll_step(use_adaptive: bool = False, pad_idx: int = 1):
+    """Per-token NLL ``[B, T]`` + score mask — the SequenceScorer form
+    feeding ``eval_lm --output-word-probs/--output-word-stats``
+    (``fairseq/sequence_scorer.py`` ``pos_scores``)."""
+
+    def token_step(params, apply_fn, tokens, targets, score_mask):
+        if use_adaptive:
+            nll = apply_fn(params, tokens, targets, deterministic=True,
+                           method="loss")
+        else:
+            logits = apply_fn(params, tokens, deterministic=True)
+            nll = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+                targets[..., None], axis=-1)[..., 0]
+        mask = score_mask & (targets != pad_idx)
+        return nll, mask
+
+    return token_step
+
+
 def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
                        accum_steps: int = 1, skip_nonfinite: bool = True):
     """MT step over (src, prev_out, targets) with label-smoothed CE

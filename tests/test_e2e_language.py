@@ -271,3 +271,121 @@ def test_lm_store_ema_tracks_and_persists(tmp_path):
     diffs = [float(np.abs(np.asarray(p) - np.asarray(e)).max())
              for p, e in zip(p_leaves, e_leaves)]
     assert max(diffs) > 0.0
+
+
+@pytest.mark.timeout(600)
+def test_inference_cli_surface(tmp_path, capsys):
+    """Round-3 inference-CLI parity flags in one short pipeline:
+
+    - ``eval_lm --softmax-batch/--output-word-stats`` (fairseq EvalLM
+      config ``configs.py:1016-1040``): row-sliced softmax must give the
+      SAME ppl as the unsliced run, and word stats print.
+    - ``eval_lm --decoder-layers-to-keep`` (prune_state_dict): keeping
+      every layer of the checkpoint matches the unpruned ppl exactly.
+    - ``generate --score-reference`` (SequenceScorer): references score
+      100 BLEU against themselves and P- lines appear in gen.out.
+    - ``generate --no-repeat-ngram-size`` runs through the blocker.
+    """
+    from efficient_attention_tpu.cli import (
+        eval_lm,
+        generate,
+        preprocess,
+        train_lm,
+        train_mt,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for split in ("train", "valid", "test"):
+        _write_lm_corpus(corpus / f"{split}.txt", n=30)
+    dest = str(tmp_path / "bin")
+    preprocess.cli_main([
+        "--trainpref", str(corpus / "train.txt"),
+        "--validpref", str(corpus / "valid.txt"),
+        "--testpref", str(corpus / "test.txt"),
+        "--destdir", dest,
+    ])
+    save_dir = str(tmp_path / "lm_ckpt")
+    common = [
+        "--data", dest, "--tokens-per-sample", "16", "--max-tokens", "128",
+        "--decoder-embed-dim", "32", "--decoder-ffn-embed-dim", "64",
+        "--decoder-layers", "2", "--decoder-attention-heads", "2",
+        "--criterion", "cross_entropy", "--dropout", "0.0",
+        "--max-len", "64", "--save-dir", save_dir,
+        "--optimizer", "adamw", "--lr-scheduler", "inverse_sqrt",
+    ]
+    train_lm.cli_main(common + [
+        "--lr", "5e-3", "--warmup-updates", "2", "--max-update", "10",
+        "--log-interval", "10", "--save-interval-updates", "10",
+        "--disable-validation",
+    ])
+    eval_common = common + [
+        "--max-update", "10",
+        "--checkpoint", os.path.join(save_dir, "ckpt"), "--split", "test",
+    ]
+    plain = eval_lm.cli_main(eval_common)
+    sliced = eval_lm.cli_main(eval_common + ["--softmax-batch", "16"])
+    assert abs(plain["ppl"] - sliced["ppl"]) < 1e-3 * plain["ppl"]
+
+    capsys.readouterr()
+    stats = eval_lm.cli_main(eval_common + ["--output-word-stats"])
+    out = capsys.readouterr().out
+    assert "avg_log_prob" in out
+    assert abs(stats["ppl"] - plain["ppl"]) < 1e-6 * plain["ppl"]
+
+    # identity prune (keep both layers) == full model
+    pruned = eval_lm.cli_main(eval_common + ["--decoder-layers-to-keep",
+                                             "0,1"])
+    assert abs(pruned["ppl"] - plain["ppl"]) < 1e-6 * plain["ppl"]
+    # real prune: shallower model still evaluates finitely
+    one = eval_lm.cli_main(eval_common + ["--decoder-layers-to-keep", "1"])
+    assert math.isfinite(one["ppl"])
+
+    # ---- MT: score-reference + ngram blocker ----
+    for split in ("train", "valid", "test"):
+        _write_mt_corpus(str(corpus / split), n=30)
+    mt_dest = str(tmp_path / "mt_bin")
+    preprocess.cli_main([
+        "--trainpref", str(corpus / "train"),
+        "--validpref", str(corpus / "valid"),
+        "--testpref", str(corpus / "test"),
+        "--destdir", mt_dest, "-s", "src", "-t", "tgt",
+        "--joined-dictionary",
+    ])
+    mt_save = str(tmp_path / "mt_ckpt")
+    mt_common = [
+        "--data", mt_dest, "-s", "src", "-t", "tgt",
+        "--encoder-embed-dim", "32", "--encoder-ffn-embed-dim", "64",
+        "--encoder-layers", "1", "--encoder-attention-heads", "2",
+        "--dropout", "0.0", "--max-tokens", "256", "--max-len", "32",
+        "--save-dir", mt_save, "--optimizer", "adam",
+    ]
+    train_mt.cli_main(mt_common + [
+        "--lr", "5e-3", "--warmup-updates", "2", "--max-update", "10",
+        "--log-interval", "10", "--save-interval-updates", "10",
+        "--label-smoothing", "0.0", "--disable-validation",
+    ])
+    gen_out = str(tmp_path / "gen.out")
+    scored = generate.cli_main(mt_common + [
+        "--max-update", "10", "--path", os.path.join(mt_save, "ckpt"),
+        "--gen-subset-size", "8", "--gen-batch", "8",
+        "--score-reference", "--results-path", gen_out,
+    ])
+    # hypothesis IS the reference -> BLEU 100
+    assert scored["bleu"] > 99.9, scored
+    lines = open(gen_out).read()
+    assert "P-0\t" in lines and "H-0\t" in lines
+
+    nbest_out = str(tmp_path / "gen_nbest.out")
+    blocked = generate.cli_main(mt_common + [
+        "--max-update", "10", "--path", os.path.join(mt_save, "ckpt"),
+        "--beam", "2", "--max-len-b", "16", "--gen-subset-size", "8",
+        "--gen-batch", "8", "--no-repeat-ngram-size", "2",
+        "--nbest", "2", "--unkpen", "0.5", "--unnormalized",
+        "--results-path", nbest_out,
+    ])
+    assert scored["sentences"] == 8 and blocked["sentences"] == 8
+    # --nbest 2: two H- lines per sentence
+    h0 = [ln for ln in open(nbest_out).read().splitlines()
+          if ln.startswith("H-0\t")]
+    assert len(h0) == 2, h0
