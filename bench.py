@@ -408,10 +408,15 @@ def main():
             "Round 3 built and parity-tested three Pallas alternatives "
             "(one-pass summary kernel, fused out-proj, x-consuming "
             "megakernel); ALL measured slower in-module than XLA's fused "
-            "forms because Pallas reads on this toolchain stream at ~1/4 "
-            "of XLA copy bandwidth (200 vs 820 GB/s measured) — each "
-            "extra custom-call boundary costs more than the bytes it "
-            "saves. See attention/eva.py toggles + "
+            "forms. Two measured causes (scripts/bench_io_floor.py, this "
+            "chip): (1) Pallas block DMA streams at 313-466 GB/s "
+            "depending on block size (200KB blocks 325, 800KB blocks "
+            "466) vs the ~820 GB/s HBM peak, and (2) XLA's producer "
+            "fusions avoid HBM round-trips entirely when the chain fits "
+            "VMEM (a fused elementwise chain on a 38MB operand measures "
+            "10+ TB/s effective, i.e. VMEM-resident) — a custom-call "
+            "boundary forces both sides to HBM, costing more than the "
+            "bytes the kernel saves. See attention/eva.py toggles + "
             "scripts/bench_eva_eval_paths.py"),
         "seq196_note": (
             "at seq 196 EVA structurally cannot beat exact softmax on "
