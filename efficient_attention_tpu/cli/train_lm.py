@@ -124,6 +124,11 @@ def build_parser():
                    help="validate on the valid split every N updates "
                         "(fairseq --validate-interval-updates; 0 = only "
                         "once at the end of training)")
+    p.add_argument("--patience", type=int, default=-1,
+                   help="early-stop after this many consecutive "
+                        "validations without valid-loss improvement "
+                        "(fairseq --patience; requires "
+                        "--validate-interval-updates)")
     p.add_argument("--tensorboard-logdir", default="",
                    help="TensorBoard event dir (main.sh:152 parity)")
     p.add_argument("--wandb-project", default=None)
@@ -581,6 +586,7 @@ def main(args) -> dict:
     t0 = time.time()
     stats = {}
     consec_skips = 0
+    best_valid, bad_valids = float("inf"), 0
     while int(state.step) < args.max_update:
         order, pos = _advance_order(order, pos)
         idx = order[pos: pos + batch_size]
@@ -626,6 +632,19 @@ def main(args) -> dict:
                 if sink is not None:
                     (sink.add_scalars if sink is tb else sink.log)(
                         vm, step=step)
+            # fairseq --patience (checkpoint_utils should_stop_early):
+            # stop after N consecutive validations without improvement
+            if args.patience > 0 and "valid_loss" in vm:
+                if vm["valid_loss"] < best_valid - 1e-9:
+                    best_valid, bad_valids = vm["valid_loss"], 0
+                else:
+                    bad_valids += 1
+                    if bad_valids >= args.patience:
+                        print(f"| early stop: valid loss has not improved "
+                              f"for {bad_valids} validations (--patience "
+                              f"{args.patience})")
+                        stats["early_stop"] = True
+                        break
     # final validation (fairseq validates before exiting)
     stats.update(validate(state))
     ckpt.wait()

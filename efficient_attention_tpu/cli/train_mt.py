@@ -95,6 +95,10 @@ def build_parser():
                    help="also validate every N updates (fairseq "
                         "--validate-interval-updates; 0 = only at each "
                         "epoch end)")
+    p.add_argument("--patience", type=int, default=-1,
+                   help="early-stop after this many consecutive epoch "
+                        "validations without valid-loss improvement "
+                        "(fairseq --patience)")
     p.add_argument("--eval-bleu", action="store_true",
                    help="compute BLEU on the valid subset during "
                         "validation (fairseq translation task --eval-bleu, "
@@ -428,6 +432,7 @@ def main(args) -> dict:
         return vm
 
     consec_skips = 0
+    best_valid, bad_valids = float("inf"), 0
     train_ok = sizes <= args.max_len
     n_dropped = int((~train_ok).sum())
     if n_dropped:
@@ -500,6 +505,18 @@ def main(args) -> dict:
         # (train.py validate_and_save)
         if skip == 0 and int(state.step) > 0:
             stats.update(validate(state))
+            # fairseq --patience (should_stop_early)
+            if args.patience > 0 and "valid_loss" in stats:
+                if stats["valid_loss"] < best_valid - 1e-9:
+                    best_valid, bad_valids = stats["valid_loss"], 0
+                else:
+                    bad_valids += 1
+                    if bad_valids >= args.patience:
+                        print(f"| early stop: valid loss has not improved "
+                              f"for {bad_valids} epochs (--patience "
+                              f"{args.patience})")
+                        stats["early_stop"] = True
+                        break
     ckpt.wait()
     print(json.dumps(stats))
     return stats

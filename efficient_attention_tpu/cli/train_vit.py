@@ -41,6 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model-ema", action="store_true", default=False)
     parser.add_argument("--model-ema-decay", default=0.99996, type=float)
     parser.add_argument("--opt", default="adamw", type=str)
+    parser.add_argument("--opt-eps", default=1e-8, type=float,
+                        help="optimizer epsilon (timm --opt-eps)")
+    parser.add_argument("--opt-betas", default=None, type=str,
+                        help="optimizer betas, e.g. '0.9,0.999' "
+                             "(timm --opt-betas)")
+    parser.add_argument("--momentum", default=0.9, type=float,
+                        help="sgd/nag momentum (timm --momentum)")
+    parser.add_argument("--no-pos-emb", action="store_true", default=False,
+                        help="drop the learned positional embedding "
+                             "(reference vit/main.py --no-pos-emb)")
     parser.add_argument("--weight-decay", default=0.05, type=float)
     parser.add_argument("--lr", default=5e-4, type=float)
     parser.add_argument("--lr-ratio", default=1.0, type=float)
@@ -197,7 +207,8 @@ def main(args) -> dict:
     if not args.model.startswith("pvt"):
         model_kwargs.update(
             patchify_stem=getattr(args, "patchify_stem", "default"),
-            use_glu=getattr(args, "use_glu", False))
+            use_glu=getattr(args, "use_glu", False),
+            use_pos_emb=not getattr(args, "no_pos_emb", False))
         if getattr(args, "depth", None):
             model_kwargs["depth"] = args.depth
         if getattr(args, "num_heads", None):
@@ -234,8 +245,13 @@ def main(args) -> dict:
         with open(args.init_params, "rb") as f:
             params = serialization.from_bytes(params, f.read())
         print(f"| initialized params from {args.init_params}")
+    betas = (tuple(float(b) for b in args.opt_betas.replace(" ", "")
+                   .strip("()").split(","))
+             if getattr(args, "opt_betas", None) else (0.9, 0.999))
     tx = make_optimizer(args.opt, schedule, weight_decay=args.weight_decay,
-                        clip_grad=args.clip_grad, params_for_mask=params)
+                        clip_grad=args.clip_grad, params_for_mask=params,
+                        betas=betas, eps=getattr(args, "opt_eps", 1e-8),
+                        momentum=getattr(args, "momentum", 0.9))
     state = TrainState.create(
         model.apply, params, tx,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0)
