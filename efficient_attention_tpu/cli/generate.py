@@ -33,6 +33,12 @@ def parse_args(argv=None):
                         help="force each output to its source's length "
                              "(LengthConstrainedBeamSearch with "
                              "min=max=src_len)")
+    parser.add_argument("--scoring", default="bleu",
+                        choices=["bleu", "chrf", "wer"],
+                        help="hypothesis scorer (fairseq --scoring / "
+                             "--sacrebleu analogue; the chrF/WER scorers "
+                             "are native ports of the sacrebleu "
+                             "statistics)")
     parser.add_argument("--nbest", type=int, default=1,
                         help="emit the top-N beam hypotheses per sentence "
                              "(fairseq --nbest); BLEU uses the best")
@@ -178,8 +184,28 @@ def main(args) -> dict:
             return sentence
         return (sentence + " ").replace(args.remove_bpe, "").rstrip()
 
-    scorer = BleuScorer()
+    if args.scoring == "bleu":
+        scorer = BleuScorer()
+    else:
+        from efficient_attention_tpu.scoring import build_scorer
+
+        scorer = build_scorer(args.scoring)
     word_ids = WordIdMapper()
+
+    def add_to_scorer(ref, hyp, ref_str, hyp_str):
+        if args.scoring != "bleu":
+            # string scorers (chrF/WER) consume post-processed text; fall
+            # back to space-joined ids when no dictionary is loaded
+            scorer.add_string(ref_str if td is not None
+                              else " ".join(map(str, ref.tolist())),
+                              hyp_str if td is not None
+                              else " ".join(map(str, hyp.tolist())))
+        elif td is not None and args.remove_bpe is not None:
+            # score the post-processed word sequences, as fairseq does
+            # when --remove-bpe is given (fairseq_cli/generate.py)
+            scorer.add(word_ids(ref_str), word_ids(hyp_str))
+        else:
+            scorer.add(ref.tolist(), hyp.tolist())
 
     K = 1 if args.sampling else args.beam
     n_out = 0
@@ -281,14 +307,9 @@ def main(args) -> dict:
             if len(eos_pos):
                 hyp = hyp[: eos_pos[0] + 1]
             ref = np.asarray(tgt[j])
-            if td is not None and args.remove_bpe is not None:
-                # score the post-processed word sequences, as fairseq does
-                # when --remove-bpe is given (fairseq_cli/generate.py)
-                hyp_str = post_process(td.string(hyp))
-                ref_str = post_process(td.string(ref))
-                scorer.add(word_ids(ref_str), word_ids(hyp_str))
-            else:
-                scorer.add(ref.tolist(), hyp.tolist())
+            hyp_str = post_process(td.string(hyp)) if td is not None else ""
+            ref_str = post_process(td.string(ref)) if td is not None else ""
+            add_to_scorer(ref, hyp, ref_str, hyp_str)
             n_out += 1
             if td is not None:
                 hyp_str = post_process(td.string(hyp))
@@ -320,7 +341,8 @@ def main(args) -> dict:
                     gen_lines.append("P-{}\t{}".format(
                         j, " ".join(f"{v:.4f}"
                                     for v in pscores[b, :n_tok])))
-    result = {"bleu": scorer.score(), "sentences": n_out,
+    result = {"bleu" if args.scoring == "bleu" else args.scoring:
+              scorer.score(), "sentences": n_out,
               "detail": scorer.result_string()}
     print("| " + scorer.result_string())
     if args.results_path:

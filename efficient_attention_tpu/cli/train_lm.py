@@ -124,6 +124,11 @@ def build_parser():
                    help="validate on the valid split every N updates "
                         "(fairseq --validate-interval-updates; 0 = only "
                         "once at the end of training)")
+    p.add_argument("--heartbeat-timeout", type=float, default=-1,
+                   help="abort this rank if no training step completes "
+                        "within this many seconds (fairseq "
+                        "--heartbeat-timeout / DistributedTimeoutWrapper: "
+                        "surfaces hung collectives loudly)")
     p.add_argument("--patience", type=int, default=-1,
                    help="early-stop after this many consecutive "
                         "validations without valid-loss improvement "
@@ -587,6 +592,11 @@ def main(args) -> dict:
     stats = {}
     consec_skips = 0
     best_valid, bad_valids = float("inf"), 0
+    watchdog = None
+    if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
+        from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
+
+        watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
     while int(state.step) < args.max_update:
         order, pos = _advance_order(order, pos)
         idx = order[pos: pos + batch_size]
@@ -605,7 +615,9 @@ def main(args) -> dict:
                     "aborting (fairseq: minimum loss scale reached)")
             continue
         consec_skips = 0
-        step = int(state.step)
+        step = int(state.step)  # blocks on the device step -> real progress
+        if watchdog is not None:
+            watchdog.beat()
         loss = float(metrics.loss)
         logger.update(loss=loss, ppl=math.exp(min(loss, 20)),
                       gnorm=float(metrics.grad_norm))
@@ -645,6 +657,8 @@ def main(args) -> dict:
                               f"{args.patience})")
                         stats["early_stop"] = True
                         break
+    if watchdog is not None:
+        watchdog.stop()
     # final validation (fairseq validates before exiting)
     stats.update(validate(state))
     ckpt.wait()

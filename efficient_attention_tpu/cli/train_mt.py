@@ -95,6 +95,10 @@ def build_parser():
                    help="also validate every N updates (fairseq "
                         "--validate-interval-updates; 0 = only at each "
                         "epoch end)")
+    p.add_argument("--heartbeat-timeout", type=float, default=-1,
+                   help="abort this rank if no training step completes "
+                        "within this many seconds (fairseq "
+                        "--heartbeat-timeout / DistributedTimeoutWrapper)")
     p.add_argument("--patience", type=int, default=-1,
                    help="early-stop after this many consecutive epoch "
                         "validations without valid-loss improvement "
@@ -433,6 +437,11 @@ def main(args) -> dict:
 
     consec_skips = 0
     best_valid, bad_valids = float("inf"), 0
+    watchdog = None
+    if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
+        from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
+
+        watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
     train_ok = sizes <= args.max_len
     n_dropped = int((~train_ok).sum())
     if n_dropped:
@@ -491,6 +500,8 @@ def main(args) -> dict:
                     wb.log(scalars, step=step)
                 if aml is not None:
                     aml.log(scalars, step=step)
+            if watchdog is not None:
+                watchdog.beat()
             ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
             if (args.validate_interval_updates > 0
@@ -517,6 +528,8 @@ def main(args) -> dict:
                               f"{args.patience})")
                         stats["early_stop"] = True
                         break
+    if watchdog is not None:
+        watchdog.stop()
     ckpt.wait()
     print(json.dumps(stats))
     return stats

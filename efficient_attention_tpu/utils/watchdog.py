@@ -1,0 +1,95 @@
+"""Heartbeat watchdog — hung-rank detection for training loops.
+
+TPU-native analogue of fairseq's ``DistributedTimeoutWrapper``
+(``fairseq/distributed/distributed_timeout_wrapper.py:17-94``): there a
+daemon thread signals and kills a rank whose forward hangs, so a
+deadlocked collective surfaces as a loud failure instead of an infinite
+stall.  Under the single-controller SPMD runtime the same hazard exists —
+a multi-host ``psum`` where one host stopped feeding steps blocks every
+other host — so the watchdog guards the per-step heartbeat instead of a
+module forward.
+
+Usage::
+
+    wd = HeartbeatWatchdog(timeout=300)
+    wd.start()
+    for batch in loader:
+        state = train_step(state, batch)
+        wd.beat()
+    wd.stop()
+
+On timeout the watchdog dumps every thread's stack (the diagnostic the
+reference logs before killing, ``distributed_timeout_wrapper.py:78-87``)
+and aborts the process so the job scheduler can restart the rank.
+"""
+from __future__ import annotations
+
+import faulthandler
+import os
+import sys
+import threading
+import time
+from typing import Callable, Optional
+
+
+def _default_abort(elapsed: float, timeout: float) -> None:
+    print(
+        f"| FATAL: heartbeat watchdog expired — no training step completed "
+        f"in {elapsed:.0f}s (--heartbeat-timeout {timeout:.0f}); dumping "
+        f"thread stacks and aborting this rank",
+        file=sys.stderr, flush=True)
+    faulthandler.dump_traceback(file=sys.stderr)
+    # abort hard: a hung collective cannot be unwound from Python, and the
+    # reference likewise kills the process (os.kill in _check_heartbeat)
+    os._exit(124)
+
+
+class HeartbeatWatchdog:
+    """Daemon-thread heartbeat monitor.
+
+    ``on_timeout`` is injectable for tests; the default dumps stacks and
+    ``os._exit(124)``s like the reference's kill signal.
+    """
+
+    def __init__(self, timeout: float,
+                 on_timeout: Optional[Callable[[float, float], None]] = None,
+                 poll_interval: Optional[float] = None):
+        if timeout <= 0:
+            raise ValueError("timeout must be positive (use None-gating at "
+                             "the call site for 'disabled')")
+        self.timeout = float(timeout)
+        self.on_timeout = on_timeout or _default_abort
+        self.poll = poll_interval or min(1.0, self.timeout / 4)
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.fired = False
+
+    def start(self) -> "HeartbeatWatchdog":
+        self._last = time.monotonic()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="heartbeat-watchdog")
+        self._thread.start()
+        return self
+
+    def beat(self) -> None:
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll):
+            elapsed = time.monotonic() - self._last
+            if elapsed > self.timeout:
+                self.fired = True
+                self.on_timeout(elapsed, self.timeout)
+                return
