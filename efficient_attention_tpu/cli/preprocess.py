@@ -2,7 +2,10 @@
 
 Builds a :class:`Dictionary` from the training corpus and writes mmap
 binarized ``.bin/.idx`` shards for each split, monolingual (LM) or paired
-(MT with ``--source-lang/--target-lang``).
+(MT with ``--source-lang/--target-lang``).  ``--srcdict/--tgtdict`` reuse
+existing dictionaries (the published-checkpoint workflow: binarize new
+data against the released vocab), ``--dict-only`` stops after writing the
+dictionaries.
 """
 from __future__ import annotations
 
@@ -19,10 +22,21 @@ def build_parser():
     p.add_argument("--destdir", required=True)
     p.add_argument("--source-lang", "-s", default=None)
     p.add_argument("--target-lang", "-t", default=None)
-    p.add_argument("--thresholdsrc", type=int, default=-1)
-    p.add_argument("--nwordssrc", type=int, default=-1)
+    p.add_argument("--thresholdsrc", type=int, default=-1,
+                   help="map source words appearing fewer times to <unk>")
+    p.add_argument("--thresholdtgt", type=int, default=-1)
+    p.add_argument("--nwordssrc", type=int, default=-1,
+                   help="retain only the top-N source words")
+    p.add_argument("--nwordstgt", type=int, default=-1)
+    p.add_argument("--srcdict", default=None,
+                   help="reuse this dictionary file instead of building "
+                        "one (fairseq --srcdict)")
+    p.add_argument("--tgtdict", default=None)
     p.add_argument("--joined-dictionary", action="store_true")
     p.add_argument("--only-source", action="store_true")
+    p.add_argument("--dict-only", action="store_true",
+                   help="write the dictionaries and stop (fairseq "
+                        "--dict-only)")
     return p
 
 
@@ -48,24 +62,49 @@ def main(args):
         return f"{pref}.{lang}" if lang else pref
 
     def corpus_lines():
-        for lang in (langs if not args.joined_dictionary else langs):
+        for lang in langs:
             with open(path(args.trainpref, lang), encoding="utf-8") as f:
                 yield from f
 
+    def per_lang(lang):
+        """(existing-dict path, threshold, nwords) for this side."""
+        is_tgt = lang is not None and lang == args.target_lang
+        if is_tgt:
+            return (args.tgtdict,
+                    args.thresholdtgt if args.thresholdtgt >= 0
+                    else args.thresholdsrc,
+                    args.nwordstgt if args.nwordstgt >= 0
+                    else args.nwordssrc)
+        return args.srcdict, args.thresholdsrc, args.nwordssrc
+
     if args.joined_dictionary or len(langs) == 1:
-        d = Dictionary.build_from_corpus(
-            corpus_lines(), threshold=args.thresholdsrc, nwords=args.nwordssrc)
+        if args.srcdict:
+            d = Dictionary.load(args.srcdict)
+        else:
+            d = Dictionary.build_from_corpus(
+                corpus_lines(), threshold=args.thresholdsrc,
+                nwords=args.nwordssrc)
         dicts = {lang: d for lang in langs}
     else:
         dicts = {}
         for lang in langs:
-            with open(path(args.trainpref, lang), encoding="utf-8") as f:
-                dicts[lang] = Dictionary.build_from_corpus(
-                    f, threshold=args.thresholdsrc, nwords=args.nwordssrc)
+            existing, threshold, nwords = per_lang(lang)
+            if existing:
+                dicts[lang] = Dictionary.load(existing)
+            else:
+                with open(path(args.trainpref, lang),
+                          encoding="utf-8") as f:
+                    dicts[lang] = Dictionary.build_from_corpus(
+                        f, threshold=threshold, nwords=nwords)
 
     for lang in langs:
         suffix = f".{lang}" if lang else ""
         dicts[lang].save(os.path.join(args.destdir, f"dict{suffix}.txt"))
+    if args.dict_only:
+        print(f"| Wrote dictionaries to {args.destdir} (--dict-only)")
+        return
+    for lang in langs:
+        suffix = f".{lang}" if lang else ""
         for split, pref in (("train", args.trainpref),
                             ("valid", args.validpref),
                             ("test", args.testpref)):

@@ -389,3 +389,46 @@ def test_inference_cli_surface(tmp_path, capsys):
     h0 = [ln for ln in open(nbest_out).read().splitlines()
           if ln.startswith("H-0\t")]
     assert len(h0) == 2, h0
+
+
+def test_preprocess_dict_reuse_and_dict_only(tmp_path):
+    """fairseq preprocess options: --srcdict/--tgtdict reuse,
+    --thresholdtgt/--nwordstgt per-side pruning, --dict-only."""
+    from efficient_attention_tpu.cli import preprocess
+    from efficient_attention_tpu.data.dictionary import Dictionary
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    _write_mt_corpus(str(corpus / "train"), n=30)
+    _write_mt_corpus(str(corpus / "valid"), n=10)
+
+    # 1) --dict-only with per-side nwords: dictionaries written, no bins
+    d1 = str(tmp_path / "dict_only")
+    preprocess.cli_main([
+        "--trainpref", str(corpus / "train"), "--destdir", d1,
+        "-s", "src", "-t", "tgt", "--nwordssrc", "12", "--nwordstgt", "8",
+        "--dict-only",
+    ])
+    assert os.path.exists(os.path.join(d1, "dict.src.txt"))
+    assert not os.path.exists(os.path.join(d1, "train.src.bin"))
+    dsrc = Dictionary.load(os.path.join(d1, "dict.src.txt"))
+    dtgt = Dictionary.load(os.path.join(d1, "dict.tgt.txt"))
+    # nwords caps the TOTAL dictionary size, specials included, then the
+    # vocab pads to a multiple of 8 with madeupwords (fairseq
+    # Dictionary.finalize semantics; the padding keeps embeddings
+    # MXU-aligned)
+    assert len(dsrc) == 16 and len(dtgt) == 8
+    assert dsrc[12].startswith("madeupword")
+
+    # 2) --srcdict/--tgtdict reuse: binarize against the pruned vocabs
+    d2 = str(tmp_path / "reuse")
+    preprocess.cli_main([
+        "--trainpref", str(corpus / "train"),
+        "--validpref", str(corpus / "valid"), "--destdir", d2,
+        "-s", "src", "-t", "tgt",
+        "--srcdict", os.path.join(d1, "dict.src.txt"),
+        "--tgtdict", os.path.join(d1, "dict.tgt.txt"),
+    ])
+    assert os.path.exists(os.path.join(d2, "train.src.bin"))
+    reloaded = Dictionary.load(os.path.join(d2, "dict.src.txt"))
+    assert len(reloaded) == len(dsrc)
