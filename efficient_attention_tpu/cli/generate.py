@@ -33,6 +33,19 @@ def parse_args(argv=None):
                         help="force each output to its source's length "
                              "(LengthConstrainedBeamSearch with "
                              "min=max=src_len)")
+    parser.add_argument("--lm-path", default=None,
+                        help="checkpoint dir of a TransformerLM for "
+                             "shallow fusion during decoding (fairseq "
+                             "--lm-path); the LM must share the target "
+                             "vocabulary")
+    parser.add_argument("--lm-config", default=None,
+                        help="YAML config describing the fusion LM "
+                             "architecture (train_lm --config surface); "
+                             "omit for the train_lm defaults")
+    parser.add_argument("--lm-weight", type=float, default=0.0,
+                        help="fusion weight: log p_MT + w * log p_LM "
+                             "(fairseq --lm-weight); the fused "
+                             "distribution is renormalized per step")
     parser.add_argument("--scoring", default="bleu",
                         choices=["bleu", "chrf", "wer"],
                         help="hypothesis scorer (fairseq --scoring / "
@@ -176,6 +189,27 @@ def main(args) -> dict:
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), dummy, dummy))()
     params = load_params(args, model, params)
 
+    # ---- LM shallow fusion (fairseq --lm-path/--lm-weight: the generator
+    # adds a weighted LM score to every decoder step) ----
+    lm_model = lm_params = None
+    if args.lm_path and args.lm_weight != 0.0:
+        from efficient_attention_tpu.cli import train_lm as _lm_cli
+        from efficient_attention_tpu.training import CheckpointManager
+
+        lm_argv = (["--config", args.lm_config] if args.lm_config else [])
+        lm_args = _lm_cli.parse_args(lm_argv)
+        lm_model = _lm_cli.build_model(lm_args, tgt_vocab)
+        lm_params = jax.jit(
+            lambda: lm_model.init(jax.random.PRNGKey(0), dummy))()
+        restored = CheckpointManager(
+            os.path.abspath(args.lm_path)).restore_params()
+        if restored is None:
+            raise FileNotFoundError(
+                f"--lm-path {args.lm_path}: no checkpoint found")
+        _, lm_params = restored
+        print(f"| fusion LM loaded from {args.lm_path} "
+              f"(weight {args.lm_weight})")
+
     def post_process(sentence: str) -> str:
         """fairseq ``--remove-bpe``: drop BPE continuation markers
         (``fairseq/data/data_utils.py`` ``post_process`` for the
@@ -223,19 +257,38 @@ def main(args) -> dict:
         enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
 
         def step_fn(cache, tokens, step):
-            states, = (cache,)
+            if lm_model is not None:
+                states, lm_states = cache
+            else:
+                states, = (cache,)
             logits, states = model.apply(
                 params, states, tokens, step, enc_out_k, enc_pad_k,
                 method=TransformerModel.decode_step)
             out = logits[:, 0]
+            if lm_model is not None:
+                # shallow fusion: log p_MT + w * log p_LM (the beam
+                # renormalizes the fused row)
+                lm_logits, lm_states = lm_model.apply(
+                    lm_params, lm_states, tokens, step,
+                    method=lm_model.decode_step)
+                out = (jax.nn.log_softmax(out, axis=-1)
+                       + args.lm_weight
+                       * jax.nn.log_softmax(lm_logits[:, 0], axis=-1))
             if args.unkpen:
                 # fairseq SequenceGenerator: lprobs[:, unk] -= unk_penalty
                 out = out.at[:, 3].add(-args.unkpen)
+            if lm_model is not None:
+                return out, (states, lm_states)
             return out, states
 
         def init_cache(bk, max_len):
-            return model.apply(params, bk, max_len,
-                               method=TransformerModel.init_decode_state)
+            states = model.apply(params, bk, max_len,
+                                 method=TransformerModel.init_decode_state)
+            if lm_model is not None:
+                return states, lm_model.apply(
+                    lm_params, bk, max_len,
+                    method=lm_model.init_decode_state)
+            return states
 
         src_lens = (np.asarray(src_b) != 1).sum(axis=1)
         if args.match_source_len:

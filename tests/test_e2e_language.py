@@ -390,6 +390,38 @@ def test_inference_cli_surface(tmp_path, capsys):
           if ln.startswith("H-0\t")]
     assert len(h0) == 2, h0
 
+    # ---- LM shallow fusion (fairseq --lm-path/--lm-weight): train a tiny
+    # LM on the target side (binarized against the MT joint vocab via the
+    # --srcdict reuse path) and decode with the fused score ----
+    lm_bin = str(tmp_path / "lm_bin")
+    preprocess.cli_main([
+        "--trainpref", str(corpus / "train.tgt"), "--destdir", lm_bin,
+        "--srcdict", os.path.join(mt_dest, "dict.tgt.txt"),
+    ])
+    lm_save = str(tmp_path / "fusion_lm")
+    lm_yaml = tmp_path / "fusion_lm.yaml"
+    lm_yaml.write_text(
+        "decoder-embed-dim: 32\ndecoder-ffn-embed-dim: 64\n"
+        "decoder-layers: 1\ndecoder-attention-heads: 2\n"
+        "criterion: cross_entropy\nmax-len: 64\n")
+    train_lm.cli_main([
+        "--data", lm_bin, "--config", str(lm_yaml),
+        "--tokens-per-sample", "16", "--max-tokens", "128",
+        "--optimizer", "adamw", "--lr", "5e-3",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--max-update", "10", "--save-interval-updates", "10",
+        "--log-interval", "10", "--disable-validation",
+        "--save-dir", lm_save,
+    ])
+    fused = generate.cli_main(mt_common + [
+        "--max-update", "10", "--path", os.path.join(mt_save, "ckpt"),
+        "--beam", "2", "--max-len-b", "16", "--gen-subset-size", "8",
+        "--gen-batch", "8",
+        "--lm-path", os.path.join(lm_save, "ckpt"),
+        "--lm-config", str(lm_yaml), "--lm-weight", "0.1",
+    ])
+    assert fused["sentences"] == 8 and math.isfinite(fused["bleu"])
+
 
 def test_preprocess_dict_reuse_and_dict_only(tmp_path):
     """fairseq preprocess options: --srcdict/--tgtdict reuse,
