@@ -124,6 +124,10 @@ def build_parser():
                    help="validate on the valid split every N updates "
                         "(fairseq --validate-interval-updates; 0 = only "
                         "once at the end of training)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: f32 master params, bf16 compute "
+                        "(the TPU analogue of fairseq --fp16/--amp; no "
+                        "loss scaling needed in bf16)")
     p.add_argument("--heartbeat-timeout", type=float, default=-1,
                    help="abort this rank if no training step completes "
                         "within this many seconds (fairseq "
@@ -493,7 +497,8 @@ def main(args) -> dict:
     else:
         train_step = make_lm_train_step(
             pad_idx=1, accum_steps=args.update_freq,
-            use_adaptive=model.adaptive_cutoffs is not None)
+            use_adaptive=model.adaptive_cutoffs is not None,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
         data_sharding = NamedSharding(mesh, batch_spec())
         jit_step = jax.jit(
             train_step,

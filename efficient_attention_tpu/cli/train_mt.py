@@ -95,6 +95,9 @@ def build_parser():
                    help="also validate every N updates (fairseq "
                         "--validate-interval-updates; 0 = only at each "
                         "epoch end)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: f32 master params, bf16 compute "
+                        "(the TPU analogue of fairseq --fp16/--amp)")
     p.add_argument("--heartbeat-timeout", type=float, default=-1,
                    help="abort this rank if no training step completes "
                         "within this many seconds (fairseq "
@@ -281,7 +284,8 @@ def main(args) -> dict:
         ema_decay=args.ema_decay if args.store_ema else 0.0)
     train_step = make_mt_train_step(
         pad_idx=1, label_smoothing=args.label_smoothing,
-        accum_steps=args.update_freq)
+        accum_steps=args.update_freq,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     data_sharding = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
     jit_step = jax.jit(

@@ -94,7 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="truncate epochs (smoke tests)")
     parser.add_argument("--mesh-fsdp", default=1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
-    parser.add_argument("--bf16", action="store_true", default=False)
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="mixed precision: f32 master params, bf16 "
+                             "compute (the TPU form of the reference's "
+                             "AMP/NativeScaler training, vit/main.py:295)")
     parser.add_argument("--tensorboard-logdir", default=None, type=str)
     parser.add_argument("--wandb-project", default=None, type=str)
     parser.add_argument("--azureml-logging", action="store_true")
@@ -292,7 +295,8 @@ def main(args) -> dict:
     train_step = make_vit_train_step(
         mixup_cfg, num_classes=args.num_classes,
         label_smoothing=args.smoothing, accum_steps=args.accum_steps,
-        erasing_cfg=erasing_cfg)
+        erasing_cfg=erasing_cfg,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     jit_train = jax.jit(
         train_step,
         in_shardings=(state_sharding, data_sharding, data_sharding, None),

@@ -22,16 +22,22 @@ from efficient_attention_tpu.training.train_state import (
     StepMetrics,
     TrainState,
     apply_or_skip,
+    cast_params,
 )
+
+
 
 
 def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
                        use_adaptive: bool = False,
-                       skip_nonfinite: bool = True):
+                       skip_nonfinite: bool = True,
+                       compute_dtype=None):
     """LM step over (tokens, targets): next-token NLL / adaptive loss
-    (``criterions/{cross_entropy,adaptive_loss}.py`` + LM recipe)."""
+    (``criterions/{cross_entropy,adaptive_loss}.py`` + LM recipe).
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision (--bf16)."""
 
     def loss_fn(params, apply_fn, tokens, targets, rng):
+        params = cast_params(params, compute_dtype)
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
         if use_adaptive:
             nll = apply_fn(params, tokens, targets, deterministic=False,
@@ -124,11 +130,14 @@ def make_lm_token_nll_step(use_adaptive: bool = False, pad_idx: int = 1):
 
 
 def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
-                       accum_steps: int = 1, skip_nonfinite: bool = True):
+                       accum_steps: int = 1, skip_nonfinite: bool = True,
+                       compute_dtype=None):
     """MT step over (src, prev_out, targets) with label-smoothed CE
-    (``criterions/label_smoothed_cross_entropy.py``, the WMT recipe)."""
+    (``criterions/label_smoothed_cross_entropy.py``, the WMT recipe).
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision (--bf16)."""
 
     def loss_fn(params, apply_fn, src, prev, targets, rng):
+        params = cast_params(params, compute_dtype)
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
         logits = apply_fn(params, src, prev, deterministic=False, rngs=rngs)
         loss_sum, nll_sum, ntokens = label_smoothed_nll_loss(

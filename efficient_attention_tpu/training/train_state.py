@@ -87,6 +87,20 @@ def apply_or_skip(state: "TrainState", grads, loss: Array,
     return merged, ~ok
 
 
+def cast_params(params, compute_dtype):
+    """Mixed precision (fairseq --fp16/--amp, TPU form): f32 MASTER params
+    live in the TrainState/optimizer; the forward consumes a bf16 copy,
+    and the cast's VJP returns f32 gradients — the master-copy scheme of
+    ``fairseq/optim/fp16_optimizer.py`` with the cast fused into the step
+    instead of a separate flattened buffer (bf16's range also removes the
+    need for loss scaling)."""
+    if compute_dtype is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+
 def make_vit_train_step(
     mixup_cfg: Optional[MixupConfig],
     num_classes: int,
@@ -94,6 +108,7 @@ def make_vit_train_step(
     accum_steps: int = 1,
     erasing_cfg=None,
     skip_nonfinite: bool = False,
+    compute_dtype=None,
 ):
     """Jittable ViT train step (replaces ``vit/engine.py:train_one_epoch``
     inner loop).  With ``accum_steps > 1`` microbatches are scanned, matching
@@ -105,6 +120,11 @@ def make_vit_train_step(
     """
 
     def loss_fn(params, apply_fn, images, targets, rng):
+        if compute_dtype is not None:
+            # mixed precision (--bf16): f32 master params, bf16 compute;
+            # the cast's VJP restores f32 gradients (see cast_params)
+            params = cast_params(params, compute_dtype)
+            images = images.astype(compute_dtype)
         drop_rng, sample_rng = jax.random.split(rng)
         logits = apply_fn(
             params, images, deterministic=False,

@@ -364,3 +364,58 @@ class TestStepSkipRecovery:
         assert m.skipped is None
         assert int(s.step) == 1  # update applied (and poisons params)
         assert not bool(jnp.isfinite(s.params["params"]["w"]).all())
+
+
+class TestMixedPrecision:
+    """--bf16: f32 master params, bf16 compute (cast_params)."""
+
+    def _setup(self):
+        from efficient_attention_tpu.models.transformer import TransformerLM
+        from efficient_attention_tpu.training import TrainState, make_optimizer
+
+        lm = TransformerLM(vocab_size=50, embed_dim=32, ffn_dim=64,
+                           num_layers=1, num_heads=2, max_len=64,
+                           dropout=0.0)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 2, 50)
+        params = lm.init(jax.random.PRNGKey(1), tokens)
+        tx = make_optimizer("adamw", lambda s: 1e-3, weight_decay=0.0)
+        state = TrainState.create(lm.apply, params, tx)
+        return lm, state, tokens
+
+    def test_cast_params_masters_stay_f32(self):
+        from efficient_attention_tpu.training.lm_steps import (
+            cast_params,
+            make_lm_train_step,
+        )
+
+        lm, state, tokens = self._setup()
+        targets = jnp.roll(tokens, -1, 1)
+        cast = cast_params(state.params, jnp.bfloat16)
+        assert all(x.dtype == jnp.bfloat16
+                   for x in jax.tree_util.tree_leaves(cast)
+                   if hasattr(x, "dtype") and jnp.issubdtype(
+                       x.dtype, jnp.floating))
+
+        step = make_lm_train_step(compute_dtype=jnp.bfloat16)
+        new_state, metrics = step(state, tokens, targets,
+                                  jax.random.PRNGKey(2))
+        # master params and optimizer state remain f32 after the update
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree_util.tree_leaves(new_state.params)
+                   if hasattr(x, "dtype") and jnp.issubdtype(
+                       x.dtype, jnp.floating))
+        assert math.isfinite(float(metrics.loss))
+
+    def test_bf16_loss_tracks_f32(self):
+        from efficient_attention_tpu.training.lm_steps import (
+            make_lm_train_step,
+        )
+
+        lm, state, tokens = self._setup()
+        targets = jnp.roll(tokens, -1, 1)
+        _, m32 = make_lm_train_step()(state, tokens, targets,
+                                      jax.random.PRNGKey(2))
+        _, m16 = make_lm_train_step(compute_dtype=jnp.bfloat16)(
+            state, tokens, targets, jax.random.PRNGKey(2))
+        assert abs(float(m32.loss) - float(m16.loss)) < 0.05, (
+            float(m32.loss), float(m16.loss))
