@@ -25,6 +25,12 @@ def build_parser():
     p.add_argument("--dummy-vocab", type=int, default=1000)
     p.add_argument("--attn-name-decoder", default="softmax",
                    choices=["softmax", "causal_eva"])
+    p.add_argument("--arch", default=None,
+                   help="named architecture preset (fairseq "
+                        "register_model_architecture): transformer_lm, "
+                        "transformer_lm_big, transformer_lm_wiki103, "
+                        "transformer_lm_gpt, transformer_lm_gpt2_"
+                        "{tiny,small,medium,big}; explicit flags win")
     p.add_argument("--decoder-embed-dim", type=int, default=1024)
     p.add_argument("--decoder-ffn-embed-dim", type=int, default=4096)
     p.add_argument("--decoder-layers", type=int, default=16)
@@ -166,7 +172,10 @@ def parse_args(argv=None):
     parser.add_argument("--help", action="help")
     args = parser.parse_args(argv, namespace=NestedNamespace())
     args.attn_name_decoder = names["attn_name_decoder"]
-    return apply_yaml_config(args, parser, argv)
+    args = apply_yaml_config(args, parser, argv)
+    from efficient_attention_tpu.models.archs import LM_ARCHS, apply_arch
+
+    return apply_arch(args, parser, argv, LM_ARCHS)
 
 
 def load_corpus(args, split: str = "train"):

@@ -24,7 +24,13 @@ def build_parser():
     p.add_argument("--dummy-vocab", type=int, default=256)
     p.add_argument("--source-lang", "-s", default="en")
     p.add_argument("--target-lang", "-t", default="de")
-    p.add_argument("--arch", default="transformer_wmt_en_de")
+    p.add_argument("--arch", default="transformer_wmt_en_de",
+                   help="named architecture preset (fairseq "
+                        "register_model_architecture): transformer, "
+                        "transformer_wmt_en_de[_big], "
+                        "transformer_iwslt_de_en, "
+                        "transformer_vaswani_wmt_en_{de,fr}_big; "
+                        "explicit flags win")
     p.add_argument("--attn-name-encoder", default="softmax")
     p.add_argument("--attn-name-decoder", default="softmax",
                    choices=["softmax", "causal_eva"])
@@ -153,7 +159,10 @@ def parse_args(argv=None):
     args = parser.parse_args(argv, namespace=NestedNamespace())
     args.attn_name_encoder = names["attn_name_encoder"]
     args.attn_name_decoder = names["attn_name_decoder"]
-    return apply_yaml_config(args, parser, argv)
+    args = apply_yaml_config(args, parser, argv)
+    from efficient_attention_tpu.models.archs import MT_ARCHS, apply_arch
+
+    return apply_arch(args, parser, argv, MT_ARCHS)
 
 
 def load_pairs(args, split: str = "train"):
