@@ -160,7 +160,8 @@ def build_dataset(args, train: bool):
     split = "train" if train else "val"
     return ImageFolderDataset(os.path.join(args.data_path, split),
                               img_size=args.input_size, train=train,
-                              augment=augment)
+                              augment=augment,
+                              interpolation=args.train_interpolation)
 
 
 def main(args) -> dict:

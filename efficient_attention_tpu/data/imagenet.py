@@ -33,13 +33,16 @@ class ImageFolderDataset:
     """Minimal ImageFolder (``datasets.ImageFolder`` equivalent)."""
 
     def __init__(self, root: str, img_size: int = 224, train: bool = True,
-                 augment=None):
+                 augment=None, interpolation: str = "bicubic"):
         self.root = root
         self.img_size = img_size
         self.train = train
         # optional fn(PIL.Image, rng) -> PIL.Image applied after RRC+flip
         # (RandAugment / color jitter; see data/randaugment.py)
         self.augment = augment
+        # timm --train-interpolation: bicubic/bilinear/nearest, or 'random'
+        # (a per-sample draw between bicubic and bilinear)
+        self.interpolation = interpolation
         classes, class_to_idx = find_classes(root)
         self.classes = classes
         self.samples: List[Tuple[str, int]] = []
@@ -52,6 +55,16 @@ class ImageFolderDataset:
 
     def __len__(self):
         return len(self.samples)
+
+    def _interp(self, rng):
+        from PIL import Image
+
+        table = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                 "nearest": Image.NEAREST}
+        name = self.interpolation
+        if name == "random":
+            name = "bicubic" if rng.random() < 0.5 else "bilinear"
+        return table[name]
 
     def load(self, idx: int, rng: np.random.Generator) -> Tuple[np.ndarray, int]:
         from PIL import Image
@@ -72,7 +85,7 @@ class ImageFolderDataset:
                     y0 = rng.integers(0, h - ch + 1)
                     img = img.crop((x0, y0, x0 + cw, y0 + ch))
                     break
-            img = img.resize((s, s), Image.BICUBIC)
+            img = img.resize((s, s), self._interp(rng))
             if rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             if self.augment is not None:

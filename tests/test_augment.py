@@ -230,3 +230,34 @@ def test_train_step_with_erasing_runs():
         erasing_cfg=ErasingConfig(prob=1.0))
     new_state, metrics = jax.jit(step)(state, x, y, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
+
+
+class TestTrainInterpolation:
+    """--train-interpolation reaches the host decode pipeline."""
+
+    def _folder(self, tmp_path):
+        from PIL import Image
+        import numpy as np
+
+        root = tmp_path / "train" / "cls0"
+        root.mkdir(parents=True)
+        arr = (np.random.default_rng(0).random((48, 48, 3)) * 255
+               ).astype("uint8")
+        Image.fromarray(arr).save(root / "a.jpg")
+        return str(tmp_path / "train")
+
+    def test_modes_decode_and_differ(self, tmp_path):
+        import numpy as np
+
+        from efficient_attention_tpu.data.imagenet import ImageFolderDataset
+
+        root = self._folder(tmp_path)
+        outs = {}
+        for mode in ("bicubic", "bilinear", "nearest", "random"):
+            ds = ImageFolderDataset(root, img_size=32, train=True,
+                                    interpolation=mode)
+            img, label = ds.load(0, np.random.default_rng(3))
+            assert img.shape == (32, 32, 3) and label == 0
+            outs[mode] = img
+        # different kernels resample differently
+        assert np.abs(outs["bicubic"] - outs["nearest"]).max() > 0
