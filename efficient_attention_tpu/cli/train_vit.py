@@ -40,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--attn-drop-rate", default=0.0, type=float)
     parser.add_argument("--model-ema", action="store_true", default=False)
     parser.add_argument("--model-ema-decay", default=0.99996, type=float)
+    parser.add_argument("--sched", default="cosine", type=str,
+                        choices=["cosine", "step"],
+                        help="lr scheduler (timm --sched; DeiT recipes "
+                             "use cosine)")
+    parser.add_argument("--decay-epochs", default=30, type=float,
+                        help="epochs between step-scheduler decays")
+    parser.add_argument("--decay-rate", default=0.1, type=float)
+    parser.add_argument("--cooldown-epochs", default=0, type=int,
+                        help="extra epochs held at min-lr after the decay "
+                             "ends (timm --cooldown-epochs)")
     parser.add_argument("--opt", default="adamw", type=str)
     parser.add_argument("--opt-eps", default=1e-8, type=float,
                         help="optimizer epsilon (timm --opt-eps)")
@@ -233,10 +243,21 @@ def main(args) -> dict:
                           // global_batch)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
-    schedule = cosine_schedule(
-        lr, warmup_steps=args.warmup_epochs * steps_per_epoch,
-        total_steps=args.epochs * steps_per_epoch,
-        warmup_init_lr=args.warmup_lr, min_lr=args.min_lr)
+    if args.sched == "step":
+        from efficient_attention_tpu.training.optim import step_schedule
+
+        schedule = step_schedule(
+            lr, warmup_steps=args.warmup_epochs * steps_per_epoch,
+            decay_steps=max(1, int(args.decay_epochs * steps_per_epoch)),
+            decay_rate=args.decay_rate, warmup_init_lr=args.warmup_lr)
+    else:
+        # --cooldown-epochs: the cosine finishes early and the tail holds
+        # at min-lr (timm semantics)
+        decay_epochs = max(1, args.epochs - args.cooldown_epochs)
+        schedule = cosine_schedule(
+            lr, warmup_steps=args.warmup_epochs * steps_per_epoch,
+            total_steps=decay_epochs * steps_per_epoch,
+            warmup_init_lr=args.warmup_lr, min_lr=args.min_lr)
 
     rng = jax.random.PRNGKey(args.seed)
     dummy = jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32)

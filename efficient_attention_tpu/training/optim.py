@@ -38,6 +38,27 @@ def cosine_schedule(
     return schedule
 
 
+def step_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    decay_steps: int,
+    decay_rate: float = 0.1,
+    warmup_init_lr: float = 1e-6,
+) -> optax.Schedule:
+    """timm ``StepLRScheduler`` (``vit/main.py --sched step``): linear
+    warmup, then lr * decay_rate every ``decay_steps``."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init_lr + (base_lr - warmup_init_lr) * (
+            step / jnp.maximum(warmup_steps, 1))
+        n = jnp.floor(step / jnp.maximum(decay_steps, 1))
+        decayed = base_lr * decay_rate ** n
+        return jnp.where(step < warmup_steps, warm, decayed)
+
+    return schedule
+
+
 def cosine_tmult_schedule(
     base_lr: float,
     warmup_steps: int,
