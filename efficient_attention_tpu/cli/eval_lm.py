@@ -6,7 +6,6 @@ using the parallel causal-EVA path for full-block scoring.
 """
 from __future__ import annotations
 
-import argparse
 import json
 import math
 import os

@@ -6,7 +6,6 @@ lenpen 0.6 per the WMT recipe) and reports corpus BLEU.
 """
 from __future__ import annotations
 
-import argparse
 import json
 import os
 

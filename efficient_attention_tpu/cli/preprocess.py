@@ -10,7 +10,6 @@ dictionaries.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 

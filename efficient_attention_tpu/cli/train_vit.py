@@ -21,7 +21,6 @@ import math
 import os
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ across the mesh by XLA-inserted collectives, grad accumulation as a
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
