@@ -502,7 +502,8 @@ def main(args) -> dict:
 
         sp_model = build_model(args, vocab_size, seq_axis="seq")
         jit_step = make_seq_parallel_lm_train_step(
-            mesh, sp_model, pad_idx=1, accum_steps=args.update_freq)
+            mesh, sp_model, pad_idx=1, accum_steps=args.update_freq,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
     else:
         train_step = make_lm_train_step(
             pad_idx=1, accum_steps=args.update_freq,

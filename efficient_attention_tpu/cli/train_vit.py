@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cutmix", default=1.0, type=float)
     parser.add_argument("--mixup-prob", default=1.0, type=float)
     parser.add_argument("--mixup-switch-prob", default=0.5, type=float)
+    parser.add_argument("--mixup-mode", default="batch", type=str,
+                        choices=["batch", "pair", "elem"],
+                        help="lambda pairing granularity (timm "
+                             "--mixup-mode)")
+    parser.add_argument("--cutmix-minmax", default=None, type=str,
+                        help="cutmix box side range as 'lo,hi' fractions "
+                             "(timm --cutmix-minmax; overrides the "
+                             "sqrt(1-lam) box sampler)")
     parser.add_argument("--smoothing", default=0.1, type=float)
     # augmentation parity with vit/main.py:105-124
     parser.add_argument("--aa", default="rand-m9-mstd0.5-inc1", type=str,
@@ -303,10 +311,15 @@ def main(args) -> dict:
 
     mixup_cfg = None
     if args.mixup > 0 or args.cutmix > 0:
+        minmax = None
+        if getattr(args, "cutmix_minmax", None):
+            minmax = tuple(float(v) for v in args.cutmix_minmax.split(","))
         mixup_cfg = MixupConfig(
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
-            label_smoothing=args.smoothing, num_classes=args.num_classes)
+            label_smoothing=args.smoothing, num_classes=args.num_classes,
+            mode=getattr(args, "mixup_mode", "batch"),
+            cutmix_minmax=minmax)
     erasing_cfg = None
     if getattr(args, "reprob", 0.0) > 0:
         from efficient_attention_tpu.data.erasing import ErasingConfig

@@ -124,7 +124,8 @@ def causal_eva_attention_shard(
 
 def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
                                     skip_nonfinite: bool = True,
-                                    accum_steps: int = 1):
+                                    accum_steps: int = 1,
+                                    compute_dtype=None):
     """Jitted LM train step with the sequence dimension sharded over the
     mesh's ``seq`` axis (and batch over ``data``).
 
@@ -150,6 +151,12 @@ def make_seq_parallel_lm_train_step(mesh, model, pad_idx: int = 1,
     use_adaptive = getattr(model, "adaptive_cutoffs", None) is not None
 
     def local_loss(params, tokens, targets, rng):
+        if compute_dtype is not None:
+            from efficient_attention_tpu.training.train_state import (
+                cast_params,
+            )
+
+            params = cast_params(params, compute_dtype)
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 7)}
         mask = (targets != pad_idx).astype(jnp.float32)
         if use_adaptive:

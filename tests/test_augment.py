@@ -261,3 +261,74 @@ class TestTrainInterpolation:
             outs[mode] = img
         # different kernels resample differently
         assert np.abs(outs["bicubic"] - outs["nearest"]).max() > 0
+
+
+class TestMixupModes:
+    """timm --mixup-mode batch/pair/elem and --cutmix-minmax."""
+
+    def _run(self, cfg, seed=0, b=8):
+        import jax
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.data.mixup import apply_mixup
+
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (b, 16, 16, 3))
+        labels = jnp.arange(b) % 4
+        return apply_mixup(jax.random.PRNGKey(seed), imgs, labels, cfg)
+
+    def test_elem_draws_per_sample_lambda(self):
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.data.mixup import MixupConfig
+
+        cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0,
+                          switch_prob=0.0, prob=1.0, label_smoothing=0.0,
+                          num_classes=4, mode="elem")
+        _, soft = self._run(cfg)
+        # per-sample lambdas: the max target prob differs across samples
+        lams = jnp.max(soft, axis=-1)
+        assert float(jnp.std(lams)) > 1e-3, lams
+
+    def test_batch_shares_one_lambda(self):
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.data.mixup import MixupConfig
+
+        cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0,
+                          switch_prob=0.0, prob=1.0, label_smoothing=0.0,
+                          num_classes=4, mode="batch")
+        _, soft = self._run(cfg)
+        # pairing is i <-> B-1-i with a single lam: rows with distinct
+        # labels have identical max-prob
+        lams = jnp.sort(soft, axis=-1)[:, -1]
+        assert float(jnp.std(lams)) < 1e-5
+
+    def test_pair_mode_is_symmetric(self):
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.data.mixup import MixupConfig
+
+        cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0,
+                          switch_prob=0.0, prob=1.0, label_smoothing=0.0,
+                          num_classes=8, mode="pair")
+        imgs, soft = self._run(cfg)
+        # sample i mixed with B-1-i under the SAME lambda: their target
+        # distributions are permutations of each other
+        a = jnp.sort(soft, axis=-1)
+        assert float(jnp.abs(a - a[::-1]).max()) < 1e-6
+
+    def test_cutmix_minmax_box_within_range(self):
+        import jax.numpy as jnp
+
+        from efficient_attention_tpu.data.mixup import MixupConfig
+
+        cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0,
+                          switch_prob=1.0, prob=1.0, label_smoothing=0.0,
+                          num_classes=4, mode="elem",
+                          cutmix_minmax=(0.2, 0.5))
+        _, soft = self._run(cfg)
+        lams = jnp.max(soft, axis=-1)
+        # box area between (0.2*16-1)^2-ish and (0.5*16)^2 (clipping can
+        # shrink it): lam = 1 - area/HW stays in a sane band
+        assert float(lams.min()) >= 1.0 - 0.5 * 0.5 - 0.05
+        assert bool(jnp.isfinite(soft).all())
