@@ -32,6 +32,12 @@ def parse_args(argv=None):
                         help="force each output to its source's length "
                              "(LengthConstrainedBeamSearch with "
                              "min=max=src_len)")
+    parser.add_argument("--print-alignment", nargs="?", const="hard",
+                        default=None, choices=["hard", "soft"],
+                        help="emit A- source-target alignment lines from "
+                             "the last decoder layer's cross-attention "
+                             "(fairseq --print-alignment; computed by "
+                             "teacher-forcing the chosen hypothesis)")
     parser.add_argument("--lm-path", default=None,
                         help="checkpoint dir of a TransformerLM for "
                              "shallow fusion during decoding (fairseq "
@@ -352,6 +358,22 @@ def main(args) -> dict:
             tokens, scores = gen.generate(
                 batch=B, prefix_tokens=prefix,
                 src_lengths=jnp.asarray(src_lens))
+        align = None
+        if args.print_alignment:
+            # teacher-force the 1-best hypotheses through the model and
+            # read the last layer's head-averaged cross-attention
+            hyps_b = []
+            for b in range(B):
+                hb = np.asarray(tokens[b, 0, 1:])
+                e = np.where(hb == 2)[0]
+                hyps_b.append(hb[: e[0] + 1] if len(e) else hb)
+            hyp_pad = collate_tokens(hyps_b, pad_idx=1)
+            prev_pad = collate_tokens(hyps_b, pad_idx=1,
+                                      move_eos_to_beginning=True)
+            _, align = model.apply(
+                params, jnp.asarray(src_b), jnp.asarray(prev_pad),
+                method=TransformerModel.forward_with_alignment)
+            align = np.asarray(align)  # [B, T, S]
         for b, j in enumerate(chunk):
             hyp = np.asarray(tokens[b, 0, 1:])
             # trim at eos
@@ -393,6 +415,17 @@ def main(args) -> dict:
                     gen_lines.append("P-{}\t{}".format(
                         j, " ".join(f"{v:.4f}"
                                     for v in pscores[b, :n_tok])))
+                if align is not None:
+                    n_src = int(src_lens[b])
+                    rows = align[b, : len(hyp), : n_src]
+                    if args.print_alignment == "hard":
+                        pairs = [f"{int(rows[t].argmax())}-{t}"
+                                 for t in range(rows.shape[0])]
+                        gen_lines.append(f"A-{j}\t" + " ".join(pairs))
+                    else:  # soft: per-step comma-joined source probs
+                        gen_lines.append(f"A-{j}\t" + " ".join(
+                            ",".join(f"{v:.4f}" for v in rows[t])
+                            for t in range(rows.shape[0])))
     result = {"bleu" if args.scoring == "bleu" else args.scoring:
               scorer.score(), "sentences": n_out,
               "detail": scorer.result_string()}

@@ -90,6 +90,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--save-dir", default="./checkpoints/lm")
     p.add_argument("--save-interval-updates", type=int, default=1000)
+    p.add_argument("--keep-interval-updates", type=int, default=3,
+                   help="keep only the last N interval checkpoints "
+                        "(fairseq --keep-interval-updates)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=3072)
     # BASE-layer MoE (reference transformer_lm.py:187-195)
@@ -517,7 +520,8 @@ def main(args) -> dict:
     state = jax.device_put(state, repl)
 
     os.makedirs(args.save_dir, exist_ok=True)
-    ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"), keep_last=3,
+    ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"),
+                             keep_last=args.keep_interval_updates,
                              save_interval_steps=args.save_interval_updates)
     logger = MetricLogger()
     rng = jax.random.PRNGKey(args.seed)

@@ -125,7 +125,8 @@ class CrossAttention(nn.Module):
         return jnp.swapaxes(
             x.reshape(B, -1, self.num_heads, self.head_dim), 1, 2)
 
-    def __call__(self, x, enc_out, enc_padding_mask=None, deterministic=True):
+    def __call__(self, x, enc_out, enc_padding_mask=None, deterministic=True,
+                 return_attn=False):
         from efficient_attention_tpu.models.quant_noise import qn_call
 
         B = x.shape[0]
@@ -142,7 +143,12 @@ class CrossAttention(nn.Module):
         attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.embed_dim)
-        return qn_call(self.out_proj, out, deterministic)
+        out = qn_call(self.out_proj, out, deterministic)
+        if return_attn:
+            # head-averaged weights, the fairseq ``need_attn`` convention
+            # (generation alignment; ``transformer_layer.py`` attn output)
+            return out, jnp.mean(attn, axis=1)
+        return out
 
 
 class KVCache(NamedTuple):
@@ -358,7 +364,9 @@ class DecoderLayer(nn.Module):
                               deterministic=deterministic)
 
     def __call__(self, x, enc_out=None, enc_padding_mask=None,
-                 self_padding_mask=None, deterministic=True):
+                 self_padding_mask=None, deterministic=True,
+                 need_attn=False):
+        attn_weights = None
         residual = x
         if self.normalize_before:
             x = self.ln_self(x)
@@ -371,8 +379,13 @@ class DecoderLayer(nn.Module):
             residual = x
             if self.normalize_before:
                 x = self.ln_cross(x)
-            x = self.cross_attn(x, enc_out, enc_padding_mask,
-                                deterministic=deterministic)
+            if need_attn:
+                x, attn_weights = self.cross_attn(
+                    x, enc_out, enc_padding_mask,
+                    deterministic=deterministic, return_attn=True)
+            else:
+                x = self.cross_attn(x, enc_out, enc_padding_mask,
+                                    deterministic=deterministic)
             x = self.drop(x, deterministic=deterministic)
             x = residual + x
             if not self.normalize_before:
@@ -390,6 +403,8 @@ class DecoderLayer(nn.Module):
         x = residual + x
         if not self.normalize_before:
             x = self.ln_ffn(x)
+        if need_attn:
+            return x, attn_weights
         return x
 
     # ----- incremental decoding -----
@@ -661,6 +676,23 @@ class TransformerDecoder(nn.Module):
             return x
         return self._output_layer(x)
 
+    def forward_with_alignment(self, prev_output_tokens, enc_out,
+                               enc_padding_mask=None):
+        """Eval-only forward that also returns the LAST layer's
+        head-averaged cross-attention ``[B, T, S]`` — the fairseq
+        ``need_attn`` convention feeding ``--print-alignment``."""
+        padding_mask = prev_output_tokens == self.pad_idx
+        x = self._embed(prev_output_tokens)
+        attn = None
+        for j, layer in enumerate(self.layers):
+            need = j == self.num_layers - 1
+            out = layer(x, enc_out, enc_padding_mask, padding_mask,
+                        True, need)
+            x, attn = out if need else (out, attn)
+        if self.normalize_before and self.final_norm:
+            x = self.final_ln(x)
+        return self._output_layer(x), attn
+
     # ----- incremental decoding -----
     def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
         return [layer.init_decode_state(batch_size, max_len, dtype)
@@ -766,6 +798,14 @@ class TransformerModel(nn.Module):
 
     def encode(self, src_tokens):
         return self.encoder(src_tokens, deterministic=True)
+
+    def forward_with_alignment(self, src_tokens, prev_output_tokens):
+        """(logits, last-layer cross-attn [B, T, S]) for
+        ``generate --print-alignment`` (teacher forcing over a chosen
+        hypothesis)."""
+        enc_out, enc_padding = self.encoder(src_tokens, deterministic=True)
+        return self.decoder.forward_with_alignment(
+            prev_output_tokens, enc_out, enc_padding)
 
     def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
         return self.decoder.init_decode_state(batch_size, max_len, dtype)

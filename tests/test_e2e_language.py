@@ -382,13 +382,17 @@ def test_inference_cli_surface(tmp_path, capsys):
         "--beam", "2", "--max-len-b", "16", "--gen-subset-size", "8",
         "--gen-batch", "8", "--no-repeat-ngram-size", "2",
         "--nbest", "2", "--unkpen", "0.5", "--unnormalized",
+        "--print-alignment", "hard",
         "--results-path", nbest_out,
     ])
     assert scored["sentences"] == 8 and blocked["sentences"] == 8
+    lines = open(nbest_out).read().splitlines()
     # --nbest 2: two H- lines per sentence
-    h0 = [ln for ln in open(nbest_out).read().splitlines()
-          if ln.startswith("H-0\t")]
+    h0 = [ln for ln in lines if ln.startswith("H-0\t")]
     assert len(h0) == 2, h0
+    # --print-alignment: one A- line per sentence, src-tgt index pairs
+    a0 = [ln for ln in lines if ln.startswith("A-0\t")]
+    assert len(a0) == 1 and "-" in a0[0].split("\t")[1], a0
 
     # ---- LM shallow fusion (fairseq --lm-path/--lm-weight): train a tiny
     # LM on the target side (binarized against the MT joint vocab via the
