@@ -32,6 +32,13 @@ def parse_args(argv=None):
                         help="force each output to its source's length "
                              "(LengthConstrainedBeamSearch with "
                              "min=max=src_len)")
+    parser.add_argument("--input", default="-",
+                        help="(interactive) file to read from; '-' = stdin "
+                             "(fairseq InteractiveConfig.input)")
+    parser.add_argument("--buffer-size", type=int, default=0,
+                        help="(interactive) read this many sentences into "
+                             "a buffer and decode them as one batch "
+                             "(fairseq InteractiveConfig.buffer_size)")
     parser.add_argument("--print-alignment", nargs="?", const="hard",
                         default=None, choices=["hard", "soft"],
                         help="emit A- source-target alignment lines from "

@@ -53,21 +53,31 @@ def cli_main(argv=None):
     params = load_params(args, model, params)
     K = args.beam
 
-    print("| Type the input sentence and press return:", file=sys.stderr)
-    for line in sys.stdin:
+    def decode_batch(lines):
+        """Decode a buffer of raw lines as ONE batched beam search
+        (fairseq --buffer-size batching, ``interactive.py`` make_batches)."""
+        B = len(lines)
+        texts, all_phrases = [], []
+        for line in lines:
+            phrases = []
+            if getattr(args, "constraints", False):
+                # fairseq_cli/interactive.py:59-79 — constraint phrases
+                # arrive tab-separated after the sentence
+                line, *phrases = line.rstrip("\n").split("\t")
+            texts.append(line)
+            all_phrases.append(phrases)
         constraints = None
-        if getattr(args, "constraints", False):
-            # fairseq_cli/interactive.py:59-79 — constraint phrases arrive
-            # tab-separated after the sentence
-            line, *phrases = line.rstrip("\n").split("\t")
-            if phrases:
-                rows = [td.encode_line(p, append_eos=False) for p in phrases]
-                cl = max(1, max(len(r) for r in rows))
-                arr = np.full((1, len(rows), cl), td.pad(), np.int32)
-                for i, r in enumerate(rows):
-                    arr[0, i, : len(r)] = r
-                constraints = jnp.asarray(arr)
-        src = collate_tokens([sd.encode_line(encode_fn(line))],
+        if any(all_phrases):
+            rows = [[td.encode_line(p, append_eos=False) for p in ph]
+                    for ph in all_phrases]
+            n = max(1, max(len(r) for r in rows))
+            cl = max([1] + [len(t) for r in rows for t in r])
+            arr = np.full((B, n, cl), td.pad(), np.int32)
+            for b, r in enumerate(rows):
+                for i, t in enumerate(r):
+                    arr[b, i, : len(t)] = t
+            constraints = jnp.asarray(arr)
+        src = collate_tokens([sd.encode_line(encode_fn(t)) for t in texts],
                              pad_idx=sd.pad())
         enc_out, enc_pad = model.apply(params, jnp.asarray(src),
                                        method=TransformerModel.encode)
@@ -86,13 +96,34 @@ def cli_main(argv=None):
                                      method=TransformerModel.init_decode_state),
             vocab_size=len(td), beam_size=K, max_len=args.max_len_b,
             len_penalty=args.lenpen, pad=td.pad(), eos=td.eos())
-        tokens, scores = gen.generate(batch=1, constraints=constraints)
-        hyp = np.asarray(tokens[0, 0, 1:])
-        eos_pos = np.where(hyp == td.eos())[0]
-        if len(eos_pos):
-            hyp = hyp[: eos_pos[0]]
-        print(f"H-{float(scores[0, 0]):.4f}\t{decode_fn(td.string(hyp))}")
+        tokens, scores = gen.generate(batch=B, constraints=constraints)
+        for b in range(B):
+            hyp = np.asarray(tokens[b, 0, 1:])
+            eos_pos = np.where(hyp == td.eos())[0]
+            if len(eos_pos):
+                hyp = hyp[: eos_pos[0]]
+            print(f"H-{float(scores[b, 0]):.4f}"
+                  f"\t{decode_fn(td.string(hyp))}")
         sys.stdout.flush()
+
+    # --input FILE or stdin; --buffer-size batches the stream
+    stream = (sys.stdin if getattr(args, "input", "-") in ("-", None)
+              else open(args.input, encoding="utf-8"))
+    if stream is sys.stdin:
+        print("| Type the input sentence and press return:", file=sys.stderr)
+    bufsz = max(1, getattr(args, "buffer_size", 0))
+    buf = []
+    for line in stream:
+        if not line.strip():
+            continue
+        buf.append(line)
+        if len(buf) >= bufsz:
+            decode_batch(buf)
+            buf = []
+    if buf:
+        decode_batch(buf)
+    if stream is not sys.stdin:
+        stream.close()
 
 
 if __name__ == "__main__":

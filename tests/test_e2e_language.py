@@ -426,6 +426,29 @@ def test_inference_cli_surface(tmp_path, capsys):
     ])
     assert fused["sentences"] == 8 and math.isfinite(fused["bleu"])
 
+    # ---- interactive --input FILE --buffer-size (batched buffering,
+    # fairseq InteractiveConfig) ----
+    import io
+    import sys as _sys
+
+    from efficient_attention_tpu.cli import interactive
+
+    infile = tmp_path / "inter.txt"
+    infile.write_text("the cat sat\ndog ran in park\nbird flew\n")
+    stdout = _sys.stdout
+    try:
+        _sys.stdout = io.StringIO()
+        interactive.cli_main(mt_common + [
+            "--max-update", "10", "--path", os.path.join(mt_save, "ckpt"),
+            "--beam", "2", "--max-len-b", "16",
+            "--input", str(infile), "--buffer-size", "2",
+        ])
+        out = _sys.stdout.getvalue()
+    finally:
+        _sys.stdout = stdout
+    h = [ln for ln in out.splitlines() if ln.startswith("H-")]
+    assert len(h) == 3, out
+
 
 def test_preprocess_dict_reuse_and_dict_only(tmp_path):
     """fairseq preprocess options: --srcdict/--tgtdict reuse,
