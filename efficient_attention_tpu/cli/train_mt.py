@@ -71,6 +71,10 @@ def build_parser():
     p.add_argument("--decoder-layerdrop", type=float, default=0.0)
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--max-tokens", type=int, default=4096)
+    p.add_argument("--batch-size", "--max-sentences", type=int,
+                   default=None, dest="batch_size",
+                   help="cap sentences per batch alongside the token "
+                        "budget (fairseq --batch-size/--max-sentences)")
     p.add_argument("--update-freq", type=int, default=1)
     p.add_argument("--optimizer", default="adam")
     p.add_argument("--adam-betas", default="(0.9, 0.98)")
@@ -469,6 +473,7 @@ def main(args) -> dict:
         # shard evenly over the devices
         quantum = n_dev * max(1, args.update_freq)
         batches = batch_by_size(order, sizes, args.max_tokens,
+                                max_sentences=args.batch_size,
                                 required_multiple=quantum)
         order_rng.shuffle(batches)
         for bidx in batches:
