@@ -93,6 +93,16 @@ def build_parser():
     p.add_argument("--keep-interval-updates", type=int, default=3,
                    help="keep only the last N interval checkpoints "
                         "(fairseq --keep-interval-updates)")
+    p.add_argument("--finetune-from-model", default=None,
+                   help="warm-start the PARAMETERS from this checkpoint "
+                        "dir and train fresh (fairseq "
+                        "--finetune-from-model: optimizer/lr/dataloader "
+                        "reset); incompatible with resuming")
+    p.add_argument("--no-save", action="store_true",
+                   help="never write checkpoints (fairseq --no-save)")
+    p.add_argument("--stop-time-hours", type=float, default=-1,
+                   help="stop training after this many wall-clock hours "
+                        "(fairseq --stop-time-hours)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=3072)
     # BASE-layer MoE (reference transformer_lm.py:187-195)
@@ -536,6 +546,26 @@ def main(args) -> dict:
             pos = 0
         return order, pos
 
+    if getattr(args, "finetune_from_model", None):
+        # params-only warm start (fairseq --finetune-from-model: the
+        # optimizer, lr schedule, and dataloader all reset)
+        if ckpt.latest_step() is not None:
+            raise ValueError(
+                "--finetune-from-model cannot be combined with resuming "
+                "from --save-dir (fairseq raises the same conflict)")
+        restored = CheckpointManager(
+            os.path.abspath(args.finetune_from_model)).restore_params()
+        if restored is None:
+            raise FileNotFoundError(
+                f"--finetune-from-model {args.finetune_from_model}: no "
+                "checkpoint found")
+        fstep, fparams = restored
+        fparams = jax.device_put(fparams, repl)
+        state = state.replace(
+            params=fparams,
+            ema_params=(fparams if state.ema_params is not None else None))
+        print(f"| finetuning from {args.finetune_from_model} "
+              f"(step {int(fstep)}); optimizer and schedule reset")
     # auto-resume from the newest checkpoint (fairseq train.py:162 —
     # load_checkpoint restores trainer state AND the iterator position;
     # here the batch order is a deterministic function of (seed, step), so
@@ -652,9 +682,15 @@ def main(args) -> dict:
                 wb.log(scalars, step=step)
             if aml is not None:
                 aml.log(scalars, step=step)
-        ckpt.save(step, state)
+        if not args.no_save:
+            ckpt.save(step, state)
         stats = {"step": step, "loss": loss,
                  "ppl": math.exp(min(loss, 20))}
+        if (args.stop_time_hours > 0
+                and time.time() - t0 > args.stop_time_hours * 3600):
+            print(f"| stopping: --stop-time-hours {args.stop_time_hours} "
+                  "reached")
+            break
         if (args.validate_interval_updates > 0
                 and step % args.validate_interval_updates == 0):
             vm = validate(state)

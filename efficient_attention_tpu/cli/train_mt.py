@@ -87,6 +87,22 @@ def build_parser():
     p.add_argument("--save-dir", default="./checkpoints/mt")
     p.add_argument("--save-interval-updates", type=int, default=1000)
     p.add_argument("--keep-last-epochs", type=int, default=10)
+    p.add_argument("--max-epoch", type=int, default=0,
+                   help="stop after this many epochs (fairseq "
+                        "--max-epoch; 0 = run to --max-update)")
+    p.add_argument("--sentence-avg", action="store_true",
+                   help="normalize the loss by sentences instead of "
+                        "tokens (fairseq --sentence-avg)")
+    p.add_argument("--finetune-from-model", default=None,
+                   help="warm-start the PARAMETERS from this checkpoint "
+                        "dir and train fresh (fairseq "
+                        "--finetune-from-model); incompatible with "
+                        "resuming")
+    p.add_argument("--no-save", action="store_true",
+                   help="never write checkpoints (fairseq --no-save)")
+    p.add_argument("--stop-time-hours", type=float, default=-1,
+                   help="stop training after this many wall-clock hours "
+                        "(fairseq --stop-time-hours)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--max-nonfinite-skips", type=int, default=8,
@@ -298,7 +314,8 @@ def main(args) -> dict:
     train_step = make_mt_train_step(
         pad_idx=1, label_smoothing=args.label_smoothing,
         accum_steps=args.update_freq,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        sentence_avg=getattr(args, "sentence_avg", False))
     data_sharding = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
     jit_step = jax.jit(
@@ -317,6 +334,25 @@ def main(args) -> dict:
     order_rng = np.random.default_rng(args.seed)
     stats = {}
     t0 = time.time()
+    if getattr(args, "finetune_from_model", None):
+        # params-only warm start (fairseq --finetune-from-model)
+        if ckpt.latest_step() is not None:
+            raise ValueError(
+                "--finetune-from-model cannot be combined with resuming "
+                "from --save-dir (fairseq raises the same conflict)")
+        restored = CheckpointManager(
+            os.path.abspath(args.finetune_from_model)).restore_params()
+        if restored is None:
+            raise FileNotFoundError(
+                f"--finetune-from-model {args.finetune_from_model}: no "
+                "checkpoint found")
+        fstep, fparams = restored
+        fparams = jax.device_put(fparams, repl)
+        state = state.replace(
+            params=fparams,
+            ema_params=(fparams if state.ema_params is not None else None))
+        print(f"| finetuning from {args.finetune_from_model} "
+              f"(step {int(fstep)}); optimizer and schedule reset")
     # auto-resume (fairseq train.py:162): restore the newest checkpoint
     # and skip forward through the deterministic (seed-driven) batch
     # sequence to the restored step
@@ -465,7 +501,14 @@ def main(args) -> dict:
         print(f"| WARNING: {n_dropped} train examples exceed --max-len "
               f"{args.max_len} and were dropped (fairseq max-positions "
               "filtering)")
+    epoch = 0
     while int(state.step) < args.max_update:
+        if stats.get("time_stop"):
+            break
+        epoch += 1
+        if args.max_epoch and epoch > args.max_epoch:
+            print(f"| stopping: --max-epoch {args.max_epoch} reached")
+            break
         order = order_rng.permutation(len(pairs))
         order = order[train_ok[order]]
         order = order[np.argsort(sizes[order], kind="stable")]
@@ -520,8 +563,15 @@ def main(args) -> dict:
                     aml.log(scalars, step=step)
             if watchdog is not None:
                 watchdog.beat()
-            ckpt.save(step, state)
+            if not args.no_save:
+                ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
+            if (args.stop_time_hours > 0
+                    and time.time() - t0 > args.stop_time_hours * 3600):
+                print(f"| stopping: --stop-time-hours "
+                      f"{args.stop_time_hours} reached")
+                stats["time_stop"] = True
+                break
             if (args.validate_interval_updates > 0
                     and step % args.validate_interval_updates == 0):
                 vm = validate(state)

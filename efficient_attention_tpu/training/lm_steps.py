@@ -131,10 +131,12 @@ def make_lm_token_nll_step(use_adaptive: bool = False, pad_idx: int = 1):
 
 def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
                        accum_steps: int = 1, skip_nonfinite: bool = True,
-                       compute_dtype=None):
+                       compute_dtype=None, sentence_avg: bool = False):
     """MT step over (src, prev_out, targets) with label-smoothed CE
     (``criterions/label_smoothed_cross_entropy.py``, the WMT recipe).
-    ``compute_dtype=jnp.bfloat16`` enables mixed precision (--bf16)."""
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision (--bf16);
+    ``sentence_avg`` normalizes by sentence count instead of tokens
+    (fairseq --sentence-avg sample_size semantics)."""
 
     def loss_fn(params, apply_fn, src, prev, targets, rng):
         params = cast_params(params, compute_dtype)
@@ -142,7 +144,8 @@ def make_mt_train_step(pad_idx: int = 1, label_smoothing: float = 0.1,
         logits = apply_fn(params, src, prev, deterministic=False, rngs=rngs)
         loss_sum, nll_sum, ntokens = label_smoothed_nll_loss(
             logits, targets, epsilon=label_smoothing, pad_idx=pad_idx)
-        n = jnp.maximum(ntokens, 1.0)
+        n = (jnp.asarray(targets.shape[0], jnp.float32) if sentence_avg
+             else jnp.maximum(ntokens, 1.0))
         return loss_sum / n, nll_sum / n
 
     def train_step(state: TrainState, src, prev, targets, rng):
