@@ -117,3 +117,28 @@ class TestQuantNoiseInModels:
                   "sample": jax.random.PRNGKey(4)})
         assert bool(jnp.isfinite(out).all())
         assert float(jnp.abs(out - base.apply(params, x)).max()) > 0.0
+
+    def test_quant_noise_composes_with_remat(self):
+        kw = dict(vocab_size=50, embed_dim=32, ffn_dim=64, num_layers=2,
+                  num_heads=2, max_len=64, dropout=0.0,
+                  quant_noise_pq=0.3, quant_noise_pq_block_size=8)
+        qn = TransformerLM(**kw)
+        qn_remat = TransformerLM(checkpoint_activations=True, **kw)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 2, 50)
+        params = qn.init(jax.random.PRNGKey(1), tokens)
+
+        def grads(model):
+            def loss_fn(p):
+                return model.apply(
+                    p, tokens, jnp.roll(tokens, -1, 1),
+                    deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)},
+                    method=model.loss).mean()
+
+            return jax.grad(loss_fn)(params)
+
+        # the same rng stream must draw the same noise masks inside and
+        # outside the remat boundary -> identical gradients
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            grads(qn), grads(qn_remat))
