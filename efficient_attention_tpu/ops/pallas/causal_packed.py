@@ -60,8 +60,10 @@ def _pick_rows(b: int, t: int, w: int, c: int, hd: int,
     12MB here leaves headroom for Mosaic temporaries)."""
     if w <= 0 or t % w != 0:
         return None
-    for rb in (8, 4, 2, 1):
-        if b % rb == 0 and _fwd_bytes(rb, w, c, hd, itemsize) <= 12_000_000:
+    for rb in (16, 8, 4, 2, 1):
+        # the raised vmem_limit_bytes (100MB, matching eva_packed) admits
+        # RB=16; 24MB keeps ~4x headroom under it for Mosaic temporaries
+        if b % rb == 0 and _fwd_bytes(rb, w, c, hd, itemsize) <= 24_000_000:
             return rb
     return None
 
@@ -162,7 +164,8 @@ def _fwd(q, k, v, rf_p, beta_p, bias_tab, scale, nh, w, cs,
         out_specs=tok,
         out_shape=jax.ShapeDtypeStruct((B, ns, w, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nh * T * (w + C) * d,
             # each b-group fetches its [RB, C, hd] summary slice once and
@@ -283,7 +286,8 @@ def _bwd_fused(q, k, v, rf_p, beta_p, bias_tab, g, scale, nh, w, cs,
             jax.ShapeDtypeStruct((w, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q4, k4, v4, rf_p, beta_p, bias_tab, g4)
     return (dq.reshape(B, T, hd), dk.reshape(B, T, hd),

@@ -68,7 +68,8 @@ def _fwd(qkv, bias_big, scale, nh, W, ws, interpret=False):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, ns, TGS, nh * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qkv4, bias_big)
     return out.reshape(B, N, nh * d)
