@@ -400,9 +400,12 @@ def main():
         "softmax_attn_half_ms_per_layer": round(
             (sm_ms_batch - floor_ms) / 12, 3),
         "eva_attn_half_roofline_ms": 0.7,
+        # in-module attribution; the pure pallas_call measures 0.49-0.55
+        # ms standalone (RB 8 vs 16, tile-carry probe) and the summaries
+        # fuse into the qkv producer, so stage-isolated numbers differ
         "eva_attn_half_breakdown_ms": {
             "qkv_proj": 0.235, "chunk_summaries_xla": 0.53,
-            "packed_kernel": 0.45, "out_proj": 0.056},
+            "packed_kernel": 0.50, "out_proj": 0.056},
         "attn_half_note": (
             "EVA attention half runs ~2.3x its traffic+MXU roofline. "
             "Round 3 built and parity-tested three Pallas alternatives "
