@@ -103,6 +103,12 @@ def build_parser():
     p.add_argument("--stop-time-hours", type=float, default=-1,
                    help="stop training after this many wall-clock hours "
                         "(fairseq --stop-time-hours)")
+    p.add_argument("--profile", nargs="?", const="/tmp/jax-trace",
+                   default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the training "
+                        "loop (fairseq --profile nvtx wrapping, "
+                        "fairseq_cli/train.py:523-525); view in "
+                        "TensorBoard/Perfetto")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=3072)
     # BASE-layer MoE (reference transformer_lm.py:187-195)
@@ -646,6 +652,14 @@ def main(args) -> dict:
         from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
 
         watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
+    if getattr(args, "profile", None):
+        from efficient_attention_tpu.utils.profiling import profile_trace
+
+        _prof = profile_trace(args.profile)
+        _prof.__enter__()
+        print(f"| profiler trace -> {args.profile}")
+    else:
+        _prof = None
     while int(state.step) < args.max_update:
         order, pos = _advance_order(order, pos)
         idx = order[pos: pos + batch_size]
@@ -712,6 +726,8 @@ def main(args) -> dict:
                               f"{args.patience})")
                         stats["early_stop"] = True
                         break
+    if _prof is not None:
+        _prof.__exit__(None, None, None)
     if watchdog is not None:
         watchdog.stop()
     # final validation (fairseq validates before exiting)

@@ -103,6 +103,10 @@ def build_parser():
     p.add_argument("--stop-time-hours", type=float, default=-1,
                    help="stop training after this many wall-clock hours "
                         "(fairseq --stop-time-hours)")
+    p.add_argument("--profile", nargs="?", const="/tmp/jax-trace",
+                   default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the training "
+                        "loop (fairseq --profile)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--max-nonfinite-skips", type=int, default=8,
@@ -501,6 +505,14 @@ def main(args) -> dict:
         print(f"| WARNING: {n_dropped} train examples exceed --max-len "
               f"{args.max_len} and were dropped (fairseq max-positions "
               "filtering)")
+    if getattr(args, "profile", None):
+        from efficient_attention_tpu.utils.profiling import profile_trace
+
+        _prof = profile_trace(args.profile)
+        _prof.__enter__()
+        print(f"| profiler trace -> {args.profile}")
+    else:
+        _prof = None
     epoch = 0
     while int(state.step) < args.max_update:
         if stats.get("time_stop"):
@@ -596,6 +608,8 @@ def main(args) -> dict:
                               f"{args.patience})")
                         stats["early_stop"] = True
                         break
+    if _prof is not None:
+        _prof.__exit__(None, None, None)
     if watchdog is not None:
         watchdog.stop()
     ckpt.wait()

@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rematerialize each block in the backward "
                              "(nn.remat) instead of storing activations")
     parser.add_argument("--throughput", action="store_true")
+    parser.add_argument("--profile", nargs="?", const="/tmp/jax-trace",
+                        default=None, metavar="LOGDIR",
+                        help="capture a jax.profiler trace of training "
+                             "(the reference wraps training in the torch "
+                             "profiler under --profile)")
     parser.add_argument("--num-workers", default=8, type=int)
     parser.add_argument("--accum-steps", default=1, type=int)
     parser.add_argument("--max-steps-per-epoch", default=None, type=int,
@@ -375,6 +380,14 @@ def main(args) -> dict:
         aml = AzureMLLogger(True, log_dir=args.output_dir)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
+    if getattr(args, "profile", None):
+        from efficient_attention_tpu.utils.profiling import profile_trace
+
+        _prof = profile_trace(args.profile)
+        _prof.__enter__()
+        print(f"| profiler trace -> {args.profile}")
+    else:
+        _prof = None
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         nproc, pid = jax.process_count(), jax.process_index()
@@ -417,6 +430,8 @@ def main(args) -> dict:
         ckpt.save(int(state.step), state,
                   metrics={"acc1": val_stats.get("acc1", 0.0)})
         history = record
+    if _prof is not None:
+        _prof.__exit__(None, None, None)
     ckpt.wait()
     return history
 
