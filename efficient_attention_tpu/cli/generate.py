@@ -211,8 +211,7 @@ def main(args) -> dict:
         lm_argv = (["--config", args.lm_config] if args.lm_config else [])
         lm_args = _lm_cli.parse_args(lm_argv)
         lm_model = _lm_cli.build_model(lm_args, tgt_vocab)
-        lm_params = jax.jit(
-            lambda: lm_model.init(jax.random.PRNGKey(0), dummy))()
+        # params come straight from the checkpoint; no device init needed
         restored = CheckpointManager(
             os.path.abspath(args.lm_path)).restore_params()
         if restored is None:
@@ -286,11 +285,9 @@ def main(args) -> dict:
                 out = (jax.nn.log_softmax(out, axis=-1)
                        + args.lm_weight
                        * jax.nn.log_softmax(lm_logits[:, 0], axis=-1))
-            if args.unkpen:
-                # fairseq SequenceGenerator: lprobs[:, unk] -= unk_penalty
-                out = out.at[:, 3].add(-args.unkpen)
-            if lm_model is not None:
                 return out, (states, lm_states)
+            # --unkpen is applied INSIDE the generator after its
+            # normalization (fairseq lprobs semantics)
             return out, states
 
         def init_cache(bk, max_len):
@@ -354,6 +351,7 @@ def main(args) -> dict:
                 max_len=buf_len,
                 len_penalty=0.0 if args.unnormalized else args.lenpen,
                 no_repeat_ngram_size=args.no_repeat_ngram_size,
+                unk_penalty=args.unkpen,
                 diversity_groups=max(args.diverse_beam_groups, 1),
                 diversity_strength=args.diverse_beam_strength,
                 diverse_siblings_gamma=max(args.diversity_rate, 0.0),

@@ -66,14 +66,11 @@ def main(args):
                 yield from f
 
     def per_lang(lang):
-        """(existing-dict path, threshold, nwords) for this side."""
-        is_tgt = lang is not None and lang == args.target_lang
-        if is_tgt:
-            return (args.tgtdict,
-                    args.thresholdtgt if args.thresholdtgt >= 0
-                    else args.thresholdsrc,
-                    args.nwordstgt if args.nwordstgt >= 0
-                    else args.nwordssrc)
+        """(existing-dict path, threshold, nwords) for this side — the
+        two sides are independent, as in fairseq (no cross-side
+        fallback)."""
+        if lang is not None and lang == args.target_lang:
+            return args.tgtdict, args.thresholdtgt, args.nwordstgt
         return args.srcdict, args.thresholdsrc, args.nwordssrc
 
     if args.joined_dictionary or len(langs) == 1:

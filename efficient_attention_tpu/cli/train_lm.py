@@ -647,16 +647,18 @@ def main(args) -> dict:
     stats = {}
     consec_skips = 0
     best_valid, bad_valids = float("inf"), 0
+    validated_at = -1
     watchdog = None
     if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
         from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
 
-        watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
+        watchdog = HeartbeatWatchdog(args.heartbeat_timeout)  # armed after step 1
+        # (first-step XLA compilation must not count against the
+        # timeout)
     if getattr(args, "profile", None):
-        from efficient_attention_tpu.utils.profiling import profile_trace
+        from efficient_attention_tpu.utils.profiling import start_profile
 
-        _prof = profile_trace(args.profile)
-        _prof.__enter__()
+        _prof = start_profile(args.profile)
         print(f"| profiler trace -> {args.profile}")
     else:
         _prof = None
@@ -680,7 +682,7 @@ def main(args) -> dict:
         consec_skips = 0
         step = int(state.step)  # blocks on the device step -> real progress
         if watchdog is not None:
-            watchdog.beat()
+            watchdog.start().beat()
         loss = float(metrics.loss)
         logger.update(loss=loss, ppl=math.exp(min(loss, 20)),
                       gnorm=float(metrics.grad_norm))
@@ -708,6 +710,7 @@ def main(args) -> dict:
         if (args.validate_interval_updates > 0
                 and step % args.validate_interval_updates == 0):
             vm = validate(state)
+            validated_at = step
             stats.update(vm)
             for sink in (tb, wb, aml):
                 if sink is not None:
@@ -727,11 +730,13 @@ def main(args) -> dict:
                         stats["early_stop"] = True
                         break
     if _prof is not None:
-        _prof.__exit__(None, None, None)
+        _prof()
     if watchdog is not None:
         watchdog.stop()
-    # final validation (fairseq validates before exiting)
-    stats.update(validate(state))
+    # final validation (fairseq validates before exiting) — skipped when
+    # the loop already validated this exact step (e.g. a --patience stop)
+    if validated_at != int(state.step):
+        stats.update(validate(state))
     ckpt.wait()
     print(json.dumps(stats))
     return stats

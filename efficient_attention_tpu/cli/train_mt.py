@@ -498,7 +498,9 @@ def main(args) -> dict:
     if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
         from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
 
-        watchdog = HeartbeatWatchdog(args.heartbeat_timeout).start()
+        watchdog = HeartbeatWatchdog(args.heartbeat_timeout)  # armed after step 1
+        # (first-step XLA compilation must not count against the
+        # timeout)
     train_ok = sizes <= args.max_len
     n_dropped = int((~train_ok).sum())
     if n_dropped:
@@ -506,10 +508,9 @@ def main(args) -> dict:
               f"{args.max_len} and were dropped (fairseq max-positions "
               "filtering)")
     if getattr(args, "profile", None):
-        from efficient_attention_tpu.utils.profiling import profile_trace
+        from efficient_attention_tpu.utils.profiling import start_profile
 
-        _prof = profile_trace(args.profile)
-        _prof.__enter__()
+        _prof = start_profile(args.profile)
         print(f"| profiler trace -> {args.profile}")
     else:
         _prof = None
@@ -527,6 +528,13 @@ def main(args) -> dict:
         # each batch must split into update_freq microbatches that each
         # shard evenly over the devices
         quantum = n_dev * max(1, args.update_freq)
+        if args.batch_size is not None and args.batch_size < quantum:
+            # every batch would trim to zero sentences and the epoch loop
+            # would spin without ever advancing a step
+            raise ValueError(
+                f"--batch-size {args.batch_size} must be >= devices x "
+                f"update-freq ({quantum}): each batch must split into "
+                "update_freq microbatches that shard over the devices")
         batches = batch_by_size(order, sizes, args.max_tokens,
                                 max_sentences=args.batch_size,
                                 required_multiple=quantum)
@@ -574,7 +582,7 @@ def main(args) -> dict:
                 if aml is not None:
                     aml.log(scalars, step=step)
             if watchdog is not None:
-                watchdog.beat()
+                watchdog.start().beat()
             if not args.no_save:
                 ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
@@ -609,7 +617,7 @@ def main(args) -> dict:
                         stats["early_stop"] = True
                         break
     if _prof is not None:
-        _prof.__exit__(None, None, None)
+        _prof()
     if watchdog is not None:
         watchdog.stop()
     ckpt.wait()

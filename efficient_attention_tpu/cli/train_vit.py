@@ -381,10 +381,9 @@ def main(args) -> dict:
     step_rng = jax.random.PRNGKey(args.seed + 1)
     history = {}
     if getattr(args, "profile", None):
-        from efficient_attention_tpu.utils.profiling import profile_trace
+        from efficient_attention_tpu.utils.profiling import start_profile
 
-        _prof = profile_trace(args.profile)
-        _prof.__enter__()
+        _prof = start_profile(args.profile)
         print(f"| profiler trace -> {args.profile}")
     else:
         _prof = None
@@ -431,7 +430,7 @@ def main(args) -> dict:
                   metrics={"acc1": val_stats.get("acc1", 0.0)})
         history = record
     if _prof is not None:
-        _prof.__exit__(None, None, None)
+        _prof()
     ckpt.wait()
     return history
 

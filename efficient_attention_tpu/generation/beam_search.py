@@ -74,6 +74,8 @@ class SequenceGenerator:
         eos: int = 2,
         bos: Optional[int] = None,
         no_repeat_ngram_size: int = 0,
+        unk_penalty: float = 0.0,
+        unk: int = 3,
         diversity_groups: int = 1,
         diversity_strength: float = 0.5,
         diverse_siblings_gamma: float = 0.0,
@@ -110,6 +112,11 @@ class SequenceGenerator:
         self.pad, self.eos = pad, eos
         self.bos = eos if bos is None else bos
         self.no_repeat_ngram_size = no_repeat_ngram_size
+        # fairseq SequenceGenerator: lprobs[:, unk] -= unk_penalty, applied
+        # AFTER normalization (a pre-normalization subtraction would be
+        # partially renormalized away)
+        self.unk_penalty = unk_penalty
+        self.unk = unk
         if diversity_groups > 1 and beam_size % diversity_groups != 0:
             raise ValueError("beam_size must be divisible by "
                              "diversity_groups (search.py:569-573)")
@@ -305,6 +312,8 @@ class SequenceGenerator:
             logp = logp.reshape(batch, K, V)
             logp = jax.nn.log_softmax(logp, axis=-1) \
                 if not _is_normalized(logp) else logp
+            if self.unk_penalty:
+                logp = logp.at[:, :, self.unk].add(-self.unk_penalty)
             if self.no_repeat_ngram_size > 0:
                 logp = self._ngram_block(state.tokens, logp, state.step)
             if prefix_tokens is not None:

@@ -55,9 +55,19 @@ _LM_WIKI103 = {
     "no_decoder_final_norm": True,
     "criterion": "adaptive_loss",
 }
+# the train_lm PARSER defaults are the wiki103 recipe (adaptive loss +
+# cutoffs); every non-wiki103 arch must reset them to fairseq's base
+# (full-softmax cross entropy), or `--arch transformer_lm_gpt` would
+# silently train an adaptive-softmax model unlike its fairseq namesake
+_LM_PLAIN_SOFTMAX = {
+    "criterion": "cross_entropy",
+    "adaptive_input": False,
+    "tie_adaptive_weights": False,
+}
 LM_ARCHS: Dict[str, Dict[str, Any]] = {
     # base (:330-346): 512/2048/6L/8H
     "transformer_lm": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 512,
         "decoder_ffn_embed_dim": 2048,
         "decoder_layers": 6,
@@ -65,6 +75,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
     },
     # :398-402
     "transformer_lm_big": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 1024,
         "decoder_ffn_embed_dim": 4096,
         "decoder_layers": 12,
@@ -74,6 +85,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
     "transformer_lm_baevski_wiki103": dict(_LM_WIKI103),
     # :439-446
     "transformer_lm_gpt": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 768,
         "decoder_ffn_embed_dim": 3072,
         "decoder_layers": 12,
@@ -82,6 +94,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
     },
     # :451-494
     "transformer_lm_gpt2_tiny": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 64,
         "decoder_ffn_embed_dim": 64,
         "decoder_layers": 2,
@@ -89,6 +102,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
         "activation_fn": "gelu",
     },
     "transformer_lm_gpt2_small": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 1024,
         "decoder_ffn_embed_dim": 4096,
         "decoder_layers": 24,
@@ -96,6 +110,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
         "activation_fn": "gelu",
     },
     "transformer_lm_gpt2_medium": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 1280,
         "decoder_ffn_embed_dim": 5120,
         "decoder_layers": 36,
@@ -103,6 +118,7 @@ LM_ARCHS: Dict[str, Dict[str, Any]] = {
         "activation_fn": "gelu",
     },
     "transformer_lm_gpt2_big": {
+        **_LM_PLAIN_SOFTMAX,
         "decoder_embed_dim": 1600,
         "decoder_ffn_embed_dim": 6400,
         "decoder_layers": 48,

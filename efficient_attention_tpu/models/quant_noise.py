@@ -43,6 +43,10 @@ class QuantNoiseDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.dtype is not None:
+            # nn.Dense compute-dtype semantics: the kernel/bias casts below
+            # follow x's dtype
+            x = x.astype(self.dtype)
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features))

@@ -251,7 +251,12 @@ class EncoderLayer(nn.Module):
     normalize_before: bool = False
     activation_fn: str = "relu"
     # ``--quant-noise-pq`` / ``--quant-noise-pq-block-size`` (iPQ
-    # quantization noise on fc1/fc2, ``fairseq/modules/quant_noise.py``)
+    # quantization noise on fc1/fc2, ``fairseq/modules/quant_noise.py``).
+    # Scope matches the FORK, not upstream fairseq: the fork's encoder
+    # self-attention is ``EfficientAttention``, whose constructor accepts
+    # q_noise but never applies it (``modules/efficient_attention.py:38``
+    # — the factory-built zoo modules have plain Linears), so encoder
+    # attention projections stay noise-free here too.
     quant_noise_pq: float = 0.0
     quant_noise_pq_block_size: int = 8
 

@@ -29,6 +29,25 @@ def profile_trace(logdir: str = "/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
+def start_profile(logdir: str = "/tmp/jax-trace"):
+    """Start a trace and return an idempotent ``stop()`` that is ALSO
+    registered atexit — so aborts (non-finite kill, KeyboardInterrupt,
+    sys.exit) still finalize the trace instead of leaking a truncated
+    one.  The trainers' ``--profile`` flag uses this form."""
+    import atexit
+
+    jax.profiler.start_trace(logdir)
+    done = []
+
+    def stop():
+        if not done:
+            done.append(True)
+            jax.profiler.stop_trace()
+
+    atexit.register(stop)
+    return stop
+
+
 @contextlib.contextmanager
 def step_scope(name: str, step: int):
     """Named per-step annotation (``record_function('train_step-%d')``)."""

@@ -66,6 +66,8 @@ class HeartbeatWatchdog:
         self.fired = False
 
     def start(self) -> "HeartbeatWatchdog":
+        if self._thread is not None:  # idempotent: arm once
+            return self
         self._last = time.monotonic()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="heartbeat-watchdog")

@@ -13,6 +13,12 @@ class TestLMArchs:
         assert args.decoder_layers == 12
         assert args.decoder_attention_heads == 12
         assert args.activation_fn == "gelu"
+        # non-wiki103 archs reset the parser's wiki103 recipe defaults to
+        # fairseq's base full-softmax CE
+        assert args.criterion == "cross_entropy"
+        assert not args.adaptive_input
+        model = train_lm.build_model(args, vocab_size=50000)
+        assert model.adaptive_cutoffs is None
 
     def test_wiki103_preset_turns_on_published_config(self):
         args = train_lm.parse_args(["--dummy-data", "--arch",
