@@ -135,11 +135,12 @@ def _pick_rb(B: int, N: int, ws: int, c: int) -> Optional[int]:
     """Batch rows per step under the fp32-logits VMEM budget."""
     tgs = _pick_tgs(N, ws)
     cols = tgs + ws + max(c, 128)
-    # RB=16 was raced here too (with the 100MB vmem_limit_bytes) and
-    # measured SLOWER at the WMT recipe shape (ratio 1.147 vs 1.186):
-    # the 1-D halo kernel's blocks are small enough that RB=8 already
-    # amortizes the grid, and bigger blocks just lengthen the sequential
-    # halo-neighbor DMA chain.  RB=8 stands.
+    # RB=16 and the raised vmem limit were both raced here (the tuning
+    # that wins for the 2-D kernel) and both measured SLOWER at the WMT
+    # recipe shape; the 1-D halo kernel's blocks are small enough that
+    # RB=8 already amortizes the grid, and bigger blocks/budgets just
+    # lengthen the sequential halo-neighbor DMA chain.  The original
+    # configuration stands.
     for rb in (8, 4, 2, 1):
         if B % rb == 0 and rb * tgs * cols * 4 <= 3_200_000:
             return rb
@@ -218,8 +219,11 @@ def eva_attention_1d(
                   rf_spec, bt_spec, tab_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, ns, tgs, nh * d), qkv.dtype),
+        # NOTE: no vmem_limit_bytes here — raising it (with or without
+        # RB=16) measured SLOWER for this kernel at the WMT recipe shape
+        # (kernel_vs_xla 1.186 shipped vs 1.02-1.15 with the limit); the
+        # 1-D halo kernel keeps its original compilation envelope
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(qkv4, qkv4, qkv4, maskf, maskf, maskf, rf_in, bt_in, tab)
