@@ -491,3 +491,27 @@ def test_preprocess_dict_reuse_and_dict_only(tmp_path):
     assert os.path.exists(os.path.join(d2, "train.src.bin"))
     reloaded = Dictionary.load(os.path.join(d2, "dict.src.txt"))
     assert len(reloaded) == len(dsrc)
+
+
+def test_mt_batch_size_guard_and_stop_time(tmp_path):
+    """--batch-size below devices*update-freq must error loudly (it would
+    otherwise spin forever producing zero-sentence batches), and
+    --stop-time-hours stops a run mid-training."""
+    from efficient_attention_tpu.cli import train_mt
+
+    common = [
+        "--dummy-data", "--dummy-vocab", "64",
+        "--encoder-embed-dim", "32", "--encoder-ffn-embed-dim", "64",
+        "--encoder-layers", "1", "--encoder-attention-heads", "2",
+        "--max-tokens", "256", "--max-len", "32", "--optimizer", "adam",
+        "--lr", "1e-3", "--disable-validation", "--no-save",
+        "--save-dir", str(tmp_path / "g"),
+    ]
+    with pytest.raises(ValueError, match="batch-size"):
+        train_mt.cli_main(common + ["--max-update", "2",
+                                    "--batch-size", "1",
+                                    "--update-freq", "4"])
+    # ~0.4ms wall budget: stops after the first step instead of 500
+    stats = train_mt.cli_main(common + [
+        "--max-update", "500", "--stop-time-hours", "1e-7"])
+    assert stats.get("time_stop") and stats["step"] < 500
