@@ -60,6 +60,8 @@ def _pick_rows(b: int, n: int, W: int, ws: int,
     if tgs <= 0 or n % tgs != 0:
         return None
     cols = tgs + max(c, 128)
+    # RB=32 raced at 4704 img/s e2e — inside the RB=16 noise
+    # band (4682-4720); the validated RB=16 ceiling stands
     for rb in (16, 8, 4, 2, 1):
         # fp32 joint logits [RB, TGS, TGS+C] dominate VMEM.  RB=16
         # previously failed IN-MODEL against the default 16MB scoped-VMEM
