@@ -110,6 +110,14 @@ class EVA(LocalAttention):
     # the extra custom-call boundary + in-kernel projection lose to XLA's
     # producer fusions; kept as a measured, parity-tested opt-in
     use_megakernel: bool = False
+    # single-pass eval path: ONE pallas_call computes the chunk summaries
+    # into VMEM scratch AND the joint local/chunk softmax from a resident
+    # [RB, N, 3HD] qkv block (ops/pallas/eva_single.py) — qkv streams from
+    # HBM exactly once and the summaries never round-trip HBM, removing
+    # the two round-3 measured killers (double qkv traffic + an extra
+    # custom-call boundary) in one design.  Opt-in pending on-chip
+    # measurement at the bench geometry
+    use_single_kernel: bool = False
 
     def setup(self):
         self._setup_projections()
@@ -320,6 +328,32 @@ class EVA(LocalAttention):
         x = out.reshape((B,) + tuple(seq_shape) + (C,))
         return self.proj_dropout(x, deterministic=True)
 
+    def _forward_single(self, x, seq_shape, rf_win_size, deterministic):
+        """Single-pass eval path (``ops/pallas/eva_single.py``): summaries
+        and joint attention in ONE kernel over a VMEM-resident qkv block."""
+        from efficient_attention_tpu.ops.pallas.eva_single import (
+            eva_attention_single,
+        )
+
+        B = x.shape[0]
+        C = x.shape[-1]
+        gh, gw = seq_shape
+        N = gh * gw
+        qkv = self.qkv(x.reshape(B, N, C))  # [B, N, 3*H*D]
+        pq = self.adaptive_mu_q.variables["params"]
+        pk = self.adaptive_mu_k.variables["params"]
+        use_ln = self.adaptive_proj == "default"
+        ln = (lambda p, k: p["layers_1"][k] if use_ln else None)
+        out = eva_attention_single(
+            qkv,
+            pq["layers_0"]["kernel"], pq["layers_0"]["bias"],
+            pk["layers_0"]["kernel"], pk["layers_0"]["bias"],
+            ln(pq, "scale"), ln(pq, "bias"), ln(pk, "scale"), ln(pk, "bias"),
+            self.scale, self.num_heads, gw, self.window_size, rf_win_size,
+            use_ln, bias=self._window_bias_general())
+        x = self.proj(out.reshape((B,) + tuple(seq_shape) + (C,)))
+        return self.proj_dropout(x, deterministic=deterministic)
+
     def _forward_packed(self, x, seq_shape, rf_win_size, deterministic):
         """Zero-transpose EVA forward: LN'd tokens -> fused qkv projection ->
         packed Pallas kernel -> output projection, with no head transpose or
@@ -528,6 +562,17 @@ class EVA(LocalAttention):
                     supports_summaries,
                 )
 
+                if (deterministic and not self.is_initializing()
+                        and self.use_single_kernel):
+                    from efficient_attention_tpu.ops.pallas.eva_single import (
+                        supports_single,
+                    )
+
+                    if supports_single(B, gh, gw, ws_, rf_win_size,
+                                       self.adaptive_proj, 3 * C,
+                                       x.dtype.itemsize):
+                        return self._forward_single(
+                            x, seq_shape, rf_win_size, deterministic)
                 if (deterministic and not self.is_initializing()
                         and self.use_megakernel
                         and self.adaptive_proj in ("default", "no-ln")

@@ -16,6 +16,9 @@ m_pal = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
             attn_2d=True, use_rpe=True, impl="pallas")
 m_pkd = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
             attn_2d=True, use_rpe=True, impl="packed")
+m_sgl = EVA(dim=C, num_heads=H, window_size=7, num_landmarks=49,
+            attn_2d=True, use_rpe=True, impl="packed",
+            use_single_kernel=True)
 params = jax.jit(lambda: m_xla.init(jax.random.PRNGKey(0), x[:1],
                                     deterministic=True))()
 
@@ -31,6 +34,11 @@ o3 = np.asarray(f_pkd(params, x[:4]))
 err = np.abs(o1 - o3).max()
 print("max abs err xla vs packed (f32):", err)
 assert err < 3e-4, err  # 7.8e-5 measured after the chunk-mean precision fix
+f_sgl = jax.jit(lambda p, x: m_sgl.apply(p, x, deterministic=True))
+o4 = np.asarray(f_sgl(params, x[:4]))
+err = np.abs(o1 - o4).max()
+print("max abs err xla vs single (f32):", err)
+assert err < 3e-4, err
 
 def timed(f, p, x, iters=30):
     g = jax.jit(lambda p, x: f(p, x).sum())
@@ -47,3 +55,4 @@ pb = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), params)
 print("xla    ms/iter:", round(timed(m_xla.apply and f_xla, pb, xb), 3))
 print("pallas ms/iter:", round(timed(f_pal, pb, xb), 3))
 print("packed ms/iter:", round(timed(f_pkd, pb, xb), 3))
+print("single ms/iter:", round(timed(f_sgl, pb, xb), 3))

@@ -779,6 +779,80 @@ class TestEvaMegaKernels:
                                    atol=3e-5, rtol=1e-4)
 
 
+class TestEvaSingleKernel:
+    """Single-pass fused EVA (ops/pallas/eva_single.py): in-kernel chunk
+    summaries + joint attention vs the proven two-kernel composition
+    (eva_summaries_packed -> eva_attention_packed), in interpreter mode."""
+
+    def _params(self, d, seed=5):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+        wq = jax.random.normal(ks[0], (d, d)) * 0.2
+        bq = jax.random.normal(ks[1], (d,)) * 0.1
+        wk = jax.random.normal(ks[2], (d, d)) * 0.2
+        bk = jax.random.normal(ks[3], (d,)) * 0.1
+        lnq_s = 1.0 + 0.1 * jax.random.normal(ks[4], (d,))
+        lnq_b = 0.1 * jax.random.normal(ks[5], (d,))
+        lnk_s = 1.0 + 0.1 * jax.random.normal(ks[6], (d,))
+        lnk_b = 0.1 * jax.random.normal(ks[7], (d,))
+        return wq, bq, wk, bk, lnq_s, lnq_b, lnk_s, lnk_b
+
+    @pytest.mark.parametrize("use_ln", [True, False])
+    @pytest.mark.parametrize("with_bias", [False, True])
+    @pytest.mark.parametrize("gh,gw,ws,j", [(8, 8, 4, 4), (8, 8, 2, 2),
+                                            (4, 8, 2, 2)])
+    def test_matches_two_kernel_composition(self, rng, gh, gw, ws, j,
+                                            with_bias, use_ln):
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            eva_attention_packed,
+        )
+        from efficient_attention_tpu.ops.pallas.eva_single import (
+            eva_attention_single,
+            supports_single,
+        )
+        from efficient_attention_tpu.ops.pallas.eva_summaries import (
+            eva_summaries_packed,
+        )
+
+        Bp, nh, d = 2, 3, 16
+        hd = nh * d
+        N = gh * gw
+        k1, k2 = jax.random.split(rng)
+        qkv = jax.random.normal(k1, (Bp, N, 3 * hd))
+        bias = (jax.random.normal(k2, (nh, ws * ws, ws * ws))
+                if with_bias else None)
+        wq, bq, wk, bk, lnq_s, lnq_b, lnk_s, lnk_b = self._params(d)
+        scale = d ** -0.5
+        proj = "default" if use_ln else "no-ln"
+        assert supports_single(Bp, gh, gw, ws, j, proj, 3 * hd,
+                               itemsize=4)
+
+        ln = (lnq_s, lnq_b, lnk_s, lnk_b) if use_ln else (None,) * 4
+        rf, bt = eva_summaries_packed(
+            qkv, wq, bq, wk, bk, *ln, nh=nh, gw=gw, j=j, use_ln=use_ln,
+            interpret=True)
+        ref = eva_attention_packed(qkv, rf, bt, scale, nh, gw, ws,
+                                   bias=bias, interpret=True)
+        out = eva_attention_single(
+            qkv, wq, bq, wk, bk, *ln, scale, nh, gw, ws, j, use_ln,
+            bias=bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_gate_rejects_bad_geometry(self):
+        from efficient_attention_tpu.ops.pallas.eva_single import (
+            supports_single,
+        )
+
+        # window not dividing the grid
+        assert not supports_single(2, 8, 8, 3, 4, "default", 144)
+        # chunk not dividing the grid
+        assert not supports_single(2, 8, 8, 4, 3, "default", 144)
+        # a whole batch element no longer fits the VMEM budget
+        assert not supports_single(8, 256, 256, 8, 8, "default", 2304)
+        # adaptive_proj without summaries semantics
+        assert not supports_single(2, 8, 8, 4, 4, "none", 144)
+
+
 class TestEva1DKernel:
     """1-D halo'd + padding-masked EVA kernel (ops/pallas/eva_1d.py) — the
     WMT encoder configuration (VERDICT r2 item 5) — vs the module's XLA
