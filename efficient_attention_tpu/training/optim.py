@@ -66,11 +66,15 @@ def cosine_tmult_schedule(
     t_mult: float = 2.0,
     min_lr: float = 1e-9,
     warmup_init_lr: float = 1e-7,
+    lr_shrink: float = 1.0,
     max_steps: int = 1_000_000,
 ) -> optax.Schedule:
     """fairseq ``cosine`` scheduler with period multiplier (LM recipe:
-    ``--lr-scheduler cosine --t-mult 2 --lr-period-updates 270000``,
-    ``main.sh:75-124``).  Restart boundaries are precomputed statically."""
+    ``--lr-scheduler cosine --t-mult 2 --lr-period-updates 270000
+    --lr-shrink 0.75``, ``main.sh:75-124``).  Restart boundaries are
+    precomputed statically; both max and min lr shrink by
+    ``lr_shrink**i`` in period ``i``
+    (``fairseq/optim/lr_scheduler/cosine_lr_scheduler.py:137-140``)."""
     boundaries = []
     start, length = 0, period
     while start < max_steps:
@@ -79,6 +83,8 @@ def cosine_tmult_schedule(
         length = int(length * t_mult)
     starts = jnp.asarray([b[0] for b in boundaries], jnp.float32)
     lens = jnp.asarray([b[1] for b in boundaries], jnp.float32)
+    shrinks = jnp.asarray([lr_shrink ** i for i in range(len(boundaries))],
+                          jnp.float32)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -88,7 +94,9 @@ def cosine_tmult_schedule(
         idx = jnp.sum(t >= starts) - 1
         idx = jnp.clip(idx, 0, len(boundaries) - 1)
         frac = (t - starts[idx]) / lens[idx]
-        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(math.pi * frac))
+        lo = min_lr * shrinks[idx]
+        hi = base_lr * shrinks[idx]
+        cos = lo + 0.5 * (hi - lo) * (1 + jnp.cos(math.pi * frac))
         return jnp.where(step < warmup_steps, warm, cos)
 
     return schedule
@@ -196,6 +204,71 @@ def weight_decay_mask(params) -> Any:
         treedef, [decide(p, l) for p, l in flat])
 
 
+def _fairseq_nag(schedule: optax.Schedule, momentum: float = 0.99,
+                 weight_decay: float = 0.0,
+                 mask: Any = None) -> optax.GradientTransformation:
+    """Faithful fairseq NAG (``fairseq/optim/nag.py:72-109``).
+
+    Differs from ``optax.sgd(nesterov=True)`` in two ways that matter
+    under the wiki103 cosine schedule:
+
+    * the momentum buffer is kept in PARAMETER units (``buf ->
+      momentum*lr_correct*buf - lr*g``) and rescaled by ``lr_correct =
+      lr/lr_old`` whenever the schedule moves, so accumulated momentum
+      shrinks with the lr; optax's trace is in gradient units and only
+      the CURRENT step's lr scales it,
+    * weight decay is decoupled multiplicative (``p *= 1 - lr*wd``
+      before the momentum/grad terms), never entering the buffer.
+
+    With a constant lr the two coincide (``buf == -lr * trace``).
+    """
+
+    def init(params):
+        return {
+            "buf": jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), params),
+            "count": jnp.zeros((), jnp.int32),
+            # sentinel: the first step uses lr_correct = 1 (the reference
+            # reads ``group.get('lr_old', lr)``)
+            "lr_old": jnp.full((), -1.0, jnp.float32),
+        }
+
+    def update(updates, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("fairseq NAG with weight decay needs params")
+        lr = jnp.asarray(schedule(state["count"]), jnp.float32)
+        lr_old = state["lr_old"]
+        lr_correct = jnp.where(
+            lr_old < 0, 1.0,
+            jnp.where(lr_old > 0, lr / jnp.where(lr_old > 0, lr_old, 1.0),
+                      lr))
+
+        def leaf(g, buf, p, decay):
+            g = g.astype(jnp.float32)
+            delta = (momentum * momentum * lr_correct) * buf \
+                - ((1 + momentum) * lr) * g
+            if weight_decay and decay:
+                delta = delta - (lr * weight_decay) * p.astype(jnp.float32)
+            new_buf = (momentum * lr_correct) * buf - lr * g
+            return delta.astype(g.dtype), new_buf
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_b = treedef.flatten_up_to(state["buf"])
+        flat_p = (treedef.flatten_up_to(params) if params is not None
+                  else [None] * len(flat_u))
+        flat_m = (treedef.flatten_up_to(mask) if mask is not None
+                  else [True] * len(flat_u))
+        out = [leaf(g, b, p, m)
+               for g, b, p, m in zip(flat_u, flat_b, flat_p, flat_m)]
+        deltas = treedef.unflatten([o[0] for o in out])
+        bufs = treedef.unflatten([o[1] for o in out])
+        new_state = {"buf": bufs, "count": state["count"] + 1,
+                     "lr_old": lr}
+        return deltas, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     schedule: optax.Schedule,
@@ -225,10 +298,16 @@ def make_optimizer(
         chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
                                  weight_decay=weight_decay, mask=mask))
     elif name == "nag":
-        # fairseq NAG (LM recipe: ``--optimizer nag --lr 1.0``)
-        chain.append(optax.sgd(schedule, momentum=momentum, nesterov=True))
-        if weight_decay:
-            chain.insert(-1, optax.add_decayed_weights(weight_decay, mask))
+        # fairseq NAG (LM recipe: ``--optimizer nag --lr 1.0``) — NOT
+        # optax's nesterov SGD: fairseq's momentum buffer is kept in
+        # PARAMETER units (lr-premultiplied) and rescaled by lr/lr_old
+        # when the schedule moves, and weight decay is decoupled
+        # multiplicative (``fairseq/optim/nag.py:92-104``).  Under a
+        # constant lr the two coincide (buf = -lr * trace); under cosine
+        # they do not — trajectory parity (round 4) requires the faithful
+        # form.
+        chain.append(_fairseq_nag(schedule, momentum=momentum,
+                                  weight_decay=weight_decay, mask=mask))
     elif name == "sgd":
         chain.append(optax.sgd(schedule, momentum=momentum))
     elif name == "adafactor":

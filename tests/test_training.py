@@ -50,6 +50,74 @@ class TestSchedules:
         assert float(s(99)) < 0.01
         assert float(s(101)) > 0.9
 
+    def test_cosine_tmult_lr_shrink(self):
+        # fairseq cosine shrinks BOTH max and min lr by lr_shrink**i in
+        # period i (cosine_lr_scheduler.py:137-140); recipe --lr-shrink 0.75
+        s = cosine_tmult_schedule(1.0, warmup_steps=0, period=100,
+                                  t_mult=2.0, min_lr=1e-3, lr_shrink=0.75,
+                                  max_steps=1000)
+        assert abs(float(s(0)) - 1.0) < 1e-6
+        # start of period 1 (steps 100..299): max lr = 0.75
+        np.testing.assert_allclose(float(s(100)), 0.75, rtol=1e-5)
+        # end of period 0 approaches min_lr * 1
+        np.testing.assert_allclose(float(s(99)), 1e-3, atol=5e-4)
+        # start of period 2 (step 300): 0.75**2
+        np.testing.assert_allclose(float(s(300)), 0.75 ** 2, rtol=1e-5)
+
+    def test_fairseq_nag_matches_reference_recurrence(self):
+        # transliterated fairseq/optim/nag.py:92-104 recurrence in numpy,
+        # exercised under a CHANGING lr + weight decay (where optax's
+        # nesterov SGD diverges)
+        import optax
+
+        from efficient_attention_tpu.training.optim import _fairseq_nag
+
+        lrs = [0.5, 0.4, 0.3, 0.25]
+        mom, wd = 0.9, 0.01
+        p = np.array([1.0, -2.0], np.float32)
+        grads = [np.array([0.1 * (i + 1), -0.05], np.float32)
+                 for i in range(4)]
+        # reference recurrence
+        p_ref, buf, lr_old = p.copy(), np.zeros_like(p), None
+        for lr, g in zip(lrs, grads):
+            corr = 1.0 if lr_old is None else lr / lr_old
+            p_ref *= 1 - lr * wd
+            p_ref += mom * mom * corr * buf
+            p_ref -= (1 + mom) * lr * g
+            buf = mom * corr * buf - lr * g
+            lr_old = lr
+        # repo transformation
+        sched = lambda c: jnp.asarray(lrs, jnp.float32)[c]  # noqa: E731
+        tx = _fairseq_nag(sched, momentum=mom, weight_decay=wd)
+        params = {"w": jnp.asarray(p)}
+        state = tx.init(params)
+        for g in grads:
+            upd, state = tx.update({"w": jnp.asarray(g)}, state,
+                                   params=params)
+            params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(np.asarray(params["w"]), p_ref,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fairseq_nag_constant_lr_equals_optax_nesterov(self):
+        import optax
+
+        from efficient_attention_tpu.training.optim import _fairseq_nag
+
+        mom = 0.99
+        tx_a = _fairseq_nag(lambda c: 0.1, momentum=mom)
+        tx_b = optax.sgd(0.1, momentum=mom, nesterov=True)
+        pa = {"w": jnp.asarray([1.0, 2.0])}
+        pb = {"w": jnp.asarray([1.0, 2.0])}
+        sa, sb = tx_a.init(pa), tx_b.init(pb)
+        for i in range(5):
+            g = {"w": jnp.asarray([0.1 * i - 0.2, 0.3])}
+            ua, sa = tx_a.update(g, sa, params=pa)
+            ub, sb = tx_b.update(g, sb, params=pb)
+            pa = optax.apply_updates(pa, ua)
+            pb = optax.apply_updates(pb, ub)
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_weight_decay_mask(self):
         params = {"params": {
             "dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros(4)},
