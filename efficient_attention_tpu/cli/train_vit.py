@@ -269,7 +269,8 @@ def main(args) -> dict:
         schedule = cosine_schedule(
             lr, warmup_steps=args.warmup_epochs * steps_per_epoch,
             total_steps=decay_epochs * steps_per_epoch,
-            warmup_init_lr=args.warmup_lr, min_lr=args.min_lr)
+            warmup_init_lr=args.warmup_lr, min_lr=args.min_lr,
+            steps_per_epoch=steps_per_epoch)
 
     rng = jax.random.PRNGKey(args.seed)
     dummy = jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32)

@@ -22,16 +22,32 @@ def cosine_schedule(
     total_steps: int,
     warmup_init_lr: float = 1e-6,
     min_lr: float = 1e-5,
+    steps_per_epoch: int = 0,
 ) -> optax.Schedule:
     """DeiT cosine schedule (timm ``CosineLRScheduler`` semantics used by
-    ``vit/main.py``: linear warmup then single cosine to min_lr)."""
+    ``vit/main.py``: linear warmup then single cosine to min_lr).
+
+    Two timm fidelity details (round-4 trajectory-parity work):
+
+    * ``t_in_epochs=True`` — DeiT steps the scheduler once per EPOCH
+      (``vit/main.py`` ``lr_scheduler.step(epoch)``), so the lr is
+      piecewise-constant across an epoch.  Pass ``steps_per_epoch`` to
+      quantize; 0 keeps per-step interpolation (used by the LM/MT
+      trainers' shared helper surface).
+    * ``warmup_prefix=False`` (timm default, what ``create_scheduler``
+      builds) — the cosine phase's progress counts from t=0 INCLUDING
+      the warmup region (``lr = min + 0.5*(base-min)*(1+cos(pi *
+      t/t_initial))``), so the curve resumes mid-cosine after warmup
+      rather than restarting at the peak.
+    """
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
+        if steps_per_epoch:
+            step = jnp.floor(step / steps_per_epoch) * steps_per_epoch
         warm = warmup_init_lr + (base_lr - warmup_init_lr) * (
             step / jnp.maximum(warmup_steps, 1))
-        denom = jnp.maximum(total_steps - warmup_steps, 1)
-        progress = jnp.clip((step - warmup_steps) / denom, 0.0, 1.0)
+        progress = jnp.clip(step / jnp.maximum(total_steps, 1), 0.0, 1.0)
         cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(math.pi * progress))
         return jnp.where(step < warmup_steps, warm, cos)
 

@@ -32,11 +32,25 @@ from efficient_attention_tpu.utils.nan_detector import (
 
 class TestSchedules:
     def test_cosine_endpoints(self):
+        import math
+
         s = cosine_schedule(1e-3, warmup_steps=100, total_steps=1000,
                             warmup_init_lr=1e-6, min_lr=1e-5)
         assert abs(float(s(0)) - 1e-6) < 1e-7
-        assert abs(float(s(100)) - 1e-3) < 1e-5
+        # timm warmup_prefix=False: the cosine resumes mid-curve after
+        # warmup (progress counts from t=0 including the warmup region)
+        expect = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + math.cos(math.pi * 0.1))
+        assert abs(float(s(100)) - expect) < 1e-6
         assert abs(float(s(1000)) - 1e-5) < 1e-6
+
+    def test_cosine_epoch_quantized(self):
+        # DeiT steps the scheduler once per epoch (vit/main.py
+        # lr_scheduler.step(epoch)): lr is constant within an epoch
+        s = cosine_schedule(1e-3, warmup_steps=100, total_steps=1000,
+                            warmup_init_lr=1e-6, min_lr=1e-5,
+                            steps_per_epoch=50)
+        assert float(s(250)) == float(s(299))
+        assert float(s(250)) != float(s(300))
 
     def test_inverse_sqrt(self):
         s = inverse_sqrt_schedule(7e-4, warmup_steps=6000)
