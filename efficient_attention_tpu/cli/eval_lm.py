@@ -94,10 +94,20 @@ def main(args) -> dict:
                 print(f"| pruned decoder to layers {keep}")
 
     use_adaptive = model.adaptive_cutoffs is not None
+    # --softmax-batch bounds live logits to [softmax_batch, V] inside the
+    # step (fairseq batch_for_softmax splits within a batch over time;
+    # row slicing alone cannot honor the cap when softmax_batch < T,
+    # ADVICE r3). The adaptive NLL already streams the vocab.
+    softmax_chunk = (int(args.softmax_batch)
+                     if args.softmax_batch and not use_adaptive
+                     and args.softmax_batch < 2 ** 30 else None)
     eval_step = jax.jit(
-        make_lm_eval_step(use_adaptive=use_adaptive), static_argnums=(1,))
+        make_lm_eval_step(use_adaptive=use_adaptive,
+                          softmax_chunk=softmax_chunk),
+        static_argnums=(1,))
     want_words = args.output_word_probs or args.output_word_stats
-    token_step = (jax.jit(make_lm_token_nll_step(use_adaptive=use_adaptive),
+    token_step = (jax.jit(make_lm_token_nll_step(use_adaptive=use_adaptive,
+                                                 softmax_chunk=softmax_chunk),
                           static_argnums=(1,)) if want_words else None)
     word_stats = {}
     sample_idx = 0

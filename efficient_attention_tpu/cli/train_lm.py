@@ -70,6 +70,9 @@ def build_parser():
                    choices=["cosine", "inverse_sqrt", "polynomial"])
     p.add_argument("--lr-period-updates", type=float, default=270000)
     p.add_argument("--t-mult", type=float, default=2.0)
+    p.add_argument("--lr-shrink", type=float, default=0.75,
+                   help="per-restart max/min lr shrink factor (recipe "
+                        "main.sh:77 --lr-shrink 0.75)")
     p.add_argument("--warmup-updates", type=int, default=16000)
     p.add_argument("--warmup-init-lr", type=float, default=1e-7)
     p.add_argument("--min-lr", type=float, default=1e-9)
@@ -494,7 +497,9 @@ def main(args) -> dict:
         schedule = cosine_tmult_schedule(
             args.lr, args.warmup_updates, int(args.lr_period_updates),
             t_mult=args.t_mult, min_lr=args.min_lr,
-            warmup_init_lr=args.warmup_init_lr, max_steps=args.max_update)
+            warmup_init_lr=args.warmup_init_lr,
+            lr_shrink=getattr(args, "lr_shrink", 1.0),
+            max_steps=args.max_update)
     elif args.lr_scheduler == "inverse_sqrt":
         schedule = inverse_sqrt_schedule(args.lr, args.warmup_updates,
                                          args.warmup_init_lr)
@@ -566,6 +571,19 @@ def main(args) -> dict:
                 f"--finetune-from-model {args.finetune_from_model}: no "
                 "checkpoint found")
         fstep, fparams = restored
+        # a full-depth warm-start checkpoint must be pruned to the
+        # --decoder-layers-to-keep depth the model was built at
+        # (fairseq prune_state_dict runs on every load, ADVICE r3)
+        from efficient_attention_tpu.training.checkpoint import (
+            maybe_prune_for_keep,
+            parse_layers_to_keep,
+        )
+
+        fparams = maybe_prune_for_keep(
+            fparams,
+            parse_layers_to_keep(
+                getattr(args, "decoder_layers_to_keep", None)),
+            "decoder")
         fparams = jax.device_put(fparams, repl)
         state = state.replace(
             params=fparams,
@@ -648,6 +666,8 @@ def main(args) -> dict:
     consec_skips = 0
     best_valid, bad_valids = float("inf"), 0
     validated_at = -1
+    from efficient_attention_tpu.utils.watchdog import maybe_paused
+
     watchdog = None
     if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
         from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
@@ -699,7 +719,8 @@ def main(args) -> dict:
             if aml is not None:
                 aml.log(scalars, step=step)
         if not args.no_save:
-            ckpt.save(step, state)
+            with maybe_paused(watchdog):
+                ckpt.save(step, state)
         stats = {"step": step, "loss": loss,
                  "ppl": math.exp(min(loss, 20))}
         if (args.stop_time_hours > 0
@@ -709,7 +730,12 @@ def main(args) -> dict:
             break
         if (args.validate_interval_updates > 0
                 and step % args.validate_interval_updates == 0):
-            vm = validate(state)
+            # the watchdog only times training steps (fairseq's
+            # DistributedTimeoutWrapper wraps the module forward only) —
+            # a validation pass longer than --heartbeat-timeout must not
+            # kill a healthy rank (ADVICE r3)
+            with maybe_paused(watchdog):
+                vm = validate(state)
             validated_at = step
             stats.update(vm)
             for sink in (tb, wb, aml):

@@ -351,6 +351,19 @@ def main(args) -> dict:
                 f"--finetune-from-model {args.finetune_from_model}: no "
                 "checkpoint found")
         fstep, fparams = restored
+        # prune a full-depth warm-start checkpoint down to any
+        # --{encoder,decoder}-layers-to-keep subset the model was built
+        # at (fairseq prune_state_dict runs on every load, ADVICE r3)
+        from efficient_attention_tpu.training.checkpoint import (
+            maybe_prune_for_keep,
+            parse_layers_to_keep,
+        )
+
+        for flag, scope in (("encoder_layers_to_keep", "encoder"),
+                            ("decoder_layers_to_keep", "decoder")):
+            fparams = maybe_prune_for_keep(
+                fparams, parse_layers_to_keep(getattr(args, flag, None)),
+                scope)
         fparams = jax.device_put(fparams, repl)
         state = state.replace(
             params=fparams,
@@ -494,6 +507,8 @@ def main(args) -> dict:
 
     consec_skips = 0
     best_valid, bad_valids = float("inf"), 0
+    from efficient_attention_tpu.utils.watchdog import maybe_paused
+
     watchdog = None
     if getattr(args, "heartbeat_timeout", -1) and args.heartbeat_timeout > 0:
         from efficient_attention_tpu.utils.watchdog import HeartbeatWatchdog
@@ -584,7 +599,8 @@ def main(args) -> dict:
             if watchdog is not None:
                 watchdog.start().beat()
             if not args.no_save:
-                ckpt.save(step, state)
+                with maybe_paused(watchdog):
+                    ckpt.save(step, state)
             stats = {"step": step, "loss": loss}
             if (args.stop_time_hours > 0
                     and time.time() - t0 > args.stop_time_hours * 3600):
@@ -594,7 +610,10 @@ def main(args) -> dict:
                 break
             if (args.validate_interval_updates > 0
                     and step % args.validate_interval_updates == 0):
-                vm = validate(state)
+                # validation doesn't count toward --heartbeat-timeout
+                # (the reference times only the module forward, ADVICE r3)
+                with maybe_paused(watchdog):
+                    vm = validate(state)
                 stats.update(vm)
                 for sink in (tb, wb, aml):
                     if sink is not None:
@@ -603,7 +622,8 @@ def main(args) -> dict:
         # epoch boundary: fairseq validates once per epoch
         # (train.py validate_and_save)
         if skip == 0 and int(state.step) > 0:
-            stats.update(validate(state))
+            with maybe_paused(watchdog):
+                stats.update(validate(state))
             # fairseq --patience (should_stop_early)
             if args.patience > 0 and "valid_loss" in stats:
                 if stats["valid_loss"] < best_valid - 1e-9:

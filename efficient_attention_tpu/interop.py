@@ -260,6 +260,10 @@ def _lang_path_to_torch_key(parts) -> str:
         out.append("rel_pos_bias.relative_attention_bias.weight")
     elif leaf == "relative_attention_bias":
         out.append("relative_attention_bias.weight")
+    elif leaf == "embed_positions":
+        # learned positional table (padding-aware fairseq layout:
+        # max_len + pad_idx + 1 rows) — stored here as a raw param
+        out.append("embed_positions.weight")
     else:
         out.append(leaf)
     return ".".join(out)
@@ -294,8 +298,8 @@ def convert_lang_state_dict(state_dict: Mapping[str, Any],
                 f"no reference parameter for flax leaf {'/'.join(parts)} "
                 f"(expected torch key '{tk}')")
         val = _to_flax_layout(sd[tk], parts[-1])
-        if parts[-1] == "embedding" or parts[-1] == "rel_pos_bias" \
-                or parts[-1] == "relative_attention_bias":
+        if parts[-1] in ("embedding", "rel_pos_bias",
+                         "relative_attention_bias", "embed_positions"):
             val = np.asarray(sd[tk], np.float32)  # no transpose
         if val.shape != leaf.shape:
             raise ValueError(

@@ -485,10 +485,14 @@ class TransformerEncoder(nn.Module):
                 embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
         if self.learned_pos:
-            # fairseq LearnedPositionalEmbedding (``--encoder-learned-pos``)
+            # fairseq LearnedPositionalEmbedding (``--encoder-learned-pos``,
+            # ``modules/learned_positional_embedding.py``): padding-aware —
+            # positions are pad_idx + cumsum(non-pad), table rows
+            # 0..pad_idx are reserved (fairseq table size is
+            # num_embeddings + padding_idx + 1)
             self._pos = self.param(
                 "embed_positions", nn.initializers.normal(0.02),
-                (self.max_len, self.embed_dim))
+                (self.max_len + self.pad_idx + 1, self.embed_dim))
         else:
             self._pos = jnp.asarray(
                 sinusoidal_positions(self.max_len, self.embed_dim))
@@ -511,7 +515,14 @@ class TransformerEncoder(nn.Module):
         B, T = src_tokens.shape
         padding_mask = src_tokens == self.pad_idx
         x = self.embed_tokens(src_tokens) * self.embed_scale
-        x = x + self._pos[:T][None]
+        if self.learned_pos:
+            # fairseq make_positions: pad_idx + running count of non-pad
+            # tokens; pads map to the reserved pad_idx row
+            keep = (~padding_mask).astype(jnp.int32)
+            positions = jnp.cumsum(keep, axis=1) * keep + self.pad_idx
+            x = x + self._pos[positions]
+        else:
+            x = x + self._pos[:T][None]
         x = self.embed_dropout(x, deterministic=deterministic)
         for layer in self.layers:
             x = _run_layer(
@@ -585,10 +596,13 @@ class TransformerDecoder(nn.Module):
                 embedding_init=nn.initializers.normal(self.embed_dim**-0.5))
         self.embed_scale = math.sqrt(self.embed_dim)
         if self.learned_pos:
-            # fairseq LearnedPositionalEmbedding (``--decoder-learned-pos``)
+            # fairseq LearnedPositionalEmbedding (``--decoder-learned-pos``):
+            # padding-aware positions with the pad_idx+1 offset and the
+            # fairseq table layout (rows 0..pad_idx reserved), so reference
+            # learned-pos checkpoints map 1:1 (ADVICE r3)
             self._pos = self.param(
                 "embed_positions", nn.initializers.normal(0.02),
-                (self.max_len, self.embed_dim))
+                (self.max_len + self.pad_idx + 1, self.embed_dim))
         else:
             self._pos = jnp.asarray(
                 sinusoidal_positions(self.max_len, self.embed_dim))
@@ -649,6 +663,15 @@ class TransformerDecoder(nn.Module):
     def _embed(self, tokens, pos_offset=0):
         T = tokens.shape[1]
         x = self.embed_tokens(tokens) * self.embed_scale
+        if self.learned_pos:
+            # fairseq make_positions (padding-aware, pad_idx+1 offset);
+            # pos_offset carries the already-consumed token count for
+            # incremental decode / sequence-parallel shards, where blocks
+            # are dense so cumsum+offset equals the global position
+            keep = (tokens != self.pad_idx).astype(jnp.int32)
+            positions = ((jnp.cumsum(keep, axis=1) + pos_offset) * keep
+                         + self.pad_idx)
+            return x + self._pos[positions]
         pos = jax.lax.dynamic_slice_in_dim(self._pos, pos_offset, T, axis=0)
         return x + pos[None]
 
@@ -928,6 +951,21 @@ class TransformerLM(nn.Module):
                 return self.adaptive_softmax.nll(feats, targets, embs, projs)
             return self.adaptive_softmax.nll(feats, targets)
         logits = self.decoder._output_layer(feats)
+        return -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1), targets[..., None], axis=-1)[..., 0]
+
+    def nll_from_features(self, feats, targets):
+        """Token NLL from already-computed decoder features; lets callers
+        chunk the output projection over tokens so at most
+        ``[chunk, V]`` logits are live — the within-batch splitting of
+        fairseq's ``SequenceScorer.batch_for_softmax``
+        (``sequence_scorer.py``), which flattens ``B*T`` and slices."""
+        if self.adaptive_cutoffs:
+            if self.adaptive_input and self.tie_adaptive:
+                embs, projs = self._adaptive_band_weights()
+                return self.adaptive_softmax.nll(feats, targets, embs, projs)
+            return self.adaptive_softmax.nll(feats, targets)
+        logits = self.decoder._output_layer(feats).astype(jnp.float32)
         return -jnp.take_along_axis(
             jax.nn.log_softmax(logits, -1), targets[..., None], axis=-1)[..., 0]
 

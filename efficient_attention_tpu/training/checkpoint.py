@@ -118,6 +118,24 @@ def prune_layer_params(params: Any, layers_to_keep, scope: str,
     return root
 
 
+def maybe_prune_for_keep(params: Any, layers_to_keep, scope: str,
+                         prefix: str = "layer_") -> Any:
+    """Apply :func:`prune_layer_params` only when the checkpoint is
+    deeper than the requested subset — fairseq's ``prune_state_dict``
+    runs on *every* checkpoint load (``checkpoint_utils.py:674``),
+    including ``--finetune-from-model`` warm starts, but is a no-op on a
+    checkpoint that was already saved at the pruned depth."""
+    if not layers_to_keep:
+        return params
+    tree = params.get("params", params) if isinstance(params, dict) \
+        else params
+    sub = tree.get(scope, {}) if isinstance(tree, dict) else {}
+    n_ckpt = sum(1 for k in sub if str(k).startswith(prefix))
+    if n_ckpt == len(list(layers_to_keep)):
+        return params
+    return prune_layer_params(params, layers_to_keep, scope, prefix)
+
+
 def parse_layers_to_keep(spec: Optional[str]):
     """``"0,2,4"`` -> [0, 2, 4]; None/'' -> None (fairseq's
     ``--encoder-layers-to-keep`` / ``--decoder-layers-to-keep`` format)."""

@@ -90,39 +90,66 @@ def make_lm_train_step(pad_idx: int = 1, accum_steps: int = 1,
     return train_step
 
 
-def make_lm_eval_step(use_adaptive: bool = False, pad_idx: int = 1):
+def _token_nll(params, apply_fn, tokens, targets, use_adaptive,
+               softmax_chunk=None):
+    """Per-token NLL ``[B, T]``.  With ``softmax_chunk`` the output
+    projection + log-softmax run over flattened ``B*T`` tokens in fixed
+    slices of that many tokens, so at most ``[chunk, V]`` logits are live
+    — fairseq's ``SequenceScorer.batch_for_softmax``
+    (``sequence_scorer.py``: flatten to ``[1, B*T, dim]`` then slice by
+    ``softmax_batch``)."""
+    if use_adaptive:
+        # the adaptive NLL already streams the vocab in fixed chunks
+        # (models/adaptive_softmax.py) — no extra bounding needed
+        return apply_fn(params, tokens, targets, deterministic=True,
+                        method="loss")
+    if softmax_chunk:
+        feats = apply_fn(params, tokens, deterministic=True,
+                         features_only=True)
+        b, t, d = feats.shape
+        pad = (-(b * t)) % softmax_chunk
+        flat = feats.reshape(b * t, d)
+        flat_tgt = targets.reshape(b * t)
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+            flat_tgt = jnp.pad(flat_tgt, (0, pad))
+        n_chunks = flat.shape[0] // softmax_chunk
+        nll = jax.lax.map(
+            lambda xs: apply_fn(params, xs[0], xs[1],
+                                method="nll_from_features"),
+            (flat.reshape(n_chunks, softmax_chunk, d),
+             flat_tgt.reshape(n_chunks, softmax_chunk)))
+        return nll.reshape(-1)[: b * t].reshape(b, t)
+    logits = apply_fn(params, tokens, deterministic=True)
+    return -jnp.take_along_axis(
+        jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+        targets[..., None], axis=-1)[..., 0]
+
+
+def make_lm_eval_step(use_adaptive: bool = False, pad_idx: int = 1,
+                      softmax_chunk=None):
     """Returns summed NLL + token count for PPL aggregation
-    (``fairseq_cli/eval_lm.py`` scoring)."""
+    (``fairseq_cli/eval_lm.py`` scoring).  ``softmax_chunk`` bounds the
+    live logits to that many tokens' worth (--softmax-batch)."""
 
     def eval_step(params, apply_fn, tokens, targets, score_mask):
-        if use_adaptive:
-            nll = apply_fn(params, tokens, targets, deterministic=True,
-                           method="loss")
-        else:
-            logits = apply_fn(params, tokens, deterministic=True)
-            nll = -jnp.take_along_axis(
-                jax.nn.log_softmax(logits.astype(jnp.float32), -1),
-                targets[..., None], axis=-1)[..., 0]
+        nll = _token_nll(params, apply_fn, tokens, targets, use_adaptive,
+                         softmax_chunk)
         mask = score_mask & (targets != pad_idx)
         return jnp.sum(nll * mask), jnp.sum(mask)
 
     return eval_step
 
 
-def make_lm_token_nll_step(use_adaptive: bool = False, pad_idx: int = 1):
+def make_lm_token_nll_step(use_adaptive: bool = False, pad_idx: int = 1,
+                           softmax_chunk=None):
     """Per-token NLL ``[B, T]`` + score mask — the SequenceScorer form
     feeding ``eval_lm --output-word-probs/--output-word-stats``
     (``fairseq/sequence_scorer.py`` ``pos_scores``)."""
 
     def token_step(params, apply_fn, tokens, targets, score_mask):
-        if use_adaptive:
-            nll = apply_fn(params, tokens, targets, deterministic=True,
-                           method="loss")
-        else:
-            logits = apply_fn(params, tokens, deterministic=True)
-            nll = -jnp.take_along_axis(
-                jax.nn.log_softmax(logits.astype(jnp.float32), -1),
-                targets[..., None], axis=-1)[..., 0]
+        nll = _token_nll(params, apply_fn, tokens, targets, use_adaptive,
+                         softmax_chunk)
         mask = score_mask & (targets != pad_idx)
         return nll, mask
 

@@ -77,6 +77,15 @@ class HeartbeatWatchdog:
     def beat(self) -> None:
         self._last = time.monotonic()
 
+    def paused(self):
+        """Context manager suspending the timeout during non-step work
+        (validation, checkpoint writes).  The reference's
+        DistributedTimeoutWrapper only times the wrapped module forward
+        (``distributed_timeout_wrapper.py:17``); an armed watchdog must
+        likewise not kill a healthy rank that is mid-validation when
+        ``--heartbeat-timeout`` is shorter than one validation pass."""
+        return _WatchdogPause(self)
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:
@@ -90,8 +99,40 @@ class HeartbeatWatchdog:
 
     def _run(self) -> None:
         while not self._stop.wait(self.poll):
+            if getattr(self, "_paused", 0) > 0:
+                continue
             elapsed = time.monotonic() - self._last
             if elapsed > self.timeout:
                 self.fired = True
                 self.on_timeout(elapsed, self.timeout)
                 return
+
+
+class _WatchdogPause:
+    """Re-entrant pause scope; resets the heartbeat on exit so the pause
+    itself never counts toward the timeout."""
+
+    def __init__(self, wd: HeartbeatWatchdog):
+        self._wd = wd
+
+    def __enter__(self):
+        self._wd._paused = getattr(self._wd, "_paused", 0) + 1
+        return self._wd
+
+    def __exit__(self, *exc):
+        self._wd._paused -= 1
+        self._wd.beat()
+        return False
+
+
+class _NullPause:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
+def maybe_paused(watchdog: Optional[HeartbeatWatchdog]):
+    """``with maybe_paused(wd): ...`` — no-op when no watchdog is armed."""
+    return watchdog.paused() if watchdog is not None else _NullPause()

@@ -515,3 +515,60 @@ def test_mt_batch_size_guard_and_stop_time(tmp_path):
     stats = train_mt.cli_main(common + [
         "--max-update", "500", "--stop-time-hours", "1e-7"])
     assert stats.get("time_stop") and stats["step"] < 500
+
+
+@pytest.mark.timeout(600)
+def test_mt_max_epoch_counts_total_epochs_across_resume(tmp_path):
+    """--max-epoch counts epochs of the whole run, not epochs since a
+    restart: resume replays the deterministic epoch/batch structure, so
+    the epoch counter lands where the interrupted run left off
+    (ADVICE r3 resume-semantics check)."""
+    from efficient_attention_tpu.cli import train_mt
+
+    common = [
+        "--dummy-data", "--dummy-vocab", "100", "--max-tokens", "128",
+        "--max-len", "16", "--encoder-embed-dim", "32",
+        "--encoder-ffn-embed-dim", "64", "--encoder-layers", "1",
+        "--encoder-attention-heads", "2", "--dropout", "0.0",
+        "--optimizer", "adam", "--lr", "1e-3", "--warmup-updates", "2",
+        "--log-interval", "50", "--save-interval-updates", "1",
+        "--label-smoothing", "0.1", "--seed", "3",
+        "--max-update", "10000",
+    ]
+    two = train_mt.cli_main(
+        common + ["--max-epoch", "2", "--save-dir", str(tmp_path / "a")])
+    one = train_mt.cli_main(
+        common + ["--max-epoch", "1", "--save-dir", str(tmp_path / "b")])
+    assert 0 < one["step"] < two["step"]
+    resumed = train_mt.cli_main(
+        common + ["--max-epoch", "2", "--save-dir", str(tmp_path / "b")])
+    # the resumed run must stop at the SAME total step as the straight
+    # 2-epoch run — an epoch counter restarting at 0 would train one
+    # extra epoch here
+    assert resumed["step"] == two["step"], (one, resumed, two)
+
+
+@pytest.mark.timeout(600)
+def test_lm_finetune_from_model_with_layers_to_keep(tmp_path):
+    """--finetune-from-model + --decoder-layers-to-keep: the full-depth
+    warm-start checkpoint is pruned to the kept layers before loading
+    (fairseq prune_state_dict runs on every load; ADVICE r3)."""
+    from efficient_attention_tpu.cli import train_lm
+
+    common = [
+        "--dummy-data", "--dummy-vocab", "100", "--tokens-per-sample", "16",
+        "--max-tokens", "64", "--decoder-embed-dim", "32",
+        "--decoder-ffn-embed-dim", "64", "--decoder-attention-heads", "2",
+        "--dropout", "0.0", "--optimizer", "adam", "--lr", "1e-3",
+        "--warmup-updates", "2", "--log-interval", "10",
+        "--save-interval-updates", "2", "--seed", "11",
+    ]
+    full = train_lm.cli_main(common + [
+        "--decoder-layers", "2", "--max-update", "4",
+        "--save-dir", str(tmp_path / "full")])
+    assert full["step"] == 4
+    pruned = train_lm.cli_main(common + [
+        "--decoder-layers", "2", "--decoder-layers-to-keep", "1",
+        "--finetune-from-model", str(tmp_path / "full" / "ckpt"),
+        "--max-update", "2", "--save-dir", str(tmp_path / "pruned")])
+    assert pruned["step"] == 2 and math.isfinite(pruned["loss"])

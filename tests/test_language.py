@@ -411,3 +411,82 @@ class TestChunkedAdaptiveNLL:
         want = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
         np.testing.assert_allclose(np.asarray(nll), np.asarray(want),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestSoftmaxBatchChunking:
+    """eval_lm --softmax-batch must bound live logits even below T by
+    chunking the output projection over flattened tokens (fairseq
+    SequenceScorer.batch_for_softmax; ADVICE r3)."""
+
+    def test_chunked_nll_matches_full(self, rng):
+        from efficient_attention_tpu.training.lm_steps import (
+            make_lm_eval_step,
+            make_lm_token_nll_step,
+        )
+
+        m = TransformerLM(vocab_size=V, embed_dim=D, ffn_dim=64,
+                          num_layers=1, num_heads=4, attn_name="softmax")
+        toks = jax.random.randint(rng, (3, 16), 4, V)
+        tgt = jnp.roll(toks, -1, axis=1)
+        mask = jnp.ones_like(tgt, bool)
+        params = m.init(jax.random.PRNGKey(0), toks)
+        full = make_lm_eval_step()(params, m.apply, toks, tgt, mask)
+        # 7 deliberately doesn't divide B*T=48 (exercises the pad tail)
+        for chunk in (7, 16, 48, 100):
+            ch = make_lm_eval_step(softmax_chunk=chunk)(
+                params, m.apply, toks, tgt, mask)
+            np.testing.assert_allclose(float(ch[0]), float(full[0]),
+                                       rtol=1e-5)
+            assert float(ch[1]) == float(full[1])
+        tn_full, _ = make_lm_token_nll_step()(params, m.apply, toks, tgt,
+                                              mask)
+        tn_ch, _ = make_lm_token_nll_step(softmax_chunk=7)(
+            params, m.apply, toks, tgt, mask)
+        np.testing.assert_allclose(np.asarray(tn_ch), np.asarray(tn_full),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestLearnedPositions:
+    """Padding-aware learned positional embeddings (fairseq
+    LearnedPositionalEmbedding layout: pad_idx+1 offset, table size
+    max_len + pad_idx + 1; ADVICE r3)."""
+
+    def _model(self):
+        return TransformerModel(
+            src_vocab_size=V, tgt_vocab_size=V, embed_dim=D, ffn_dim=64,
+            num_layers=1, num_heads=4,
+            encoder_learned_pos=True, decoder_learned_pos=True,
+            attn_name_decoder="softmax")
+
+    def test_table_layout(self, rng):
+        m = self._model()
+        src = jax.random.randint(rng, (2, 8), 4, V)
+        prev = jax.random.randint(rng, (2, 8), 4, V)
+        params = m.init(jax.random.PRNGKey(0), src, prev)
+        enc_pos = params["params"]["encoder"]["embed_positions"]
+        # fairseq table size = num_embeddings + padding_idx + 1
+        assert enc_pos.shape[0] >= 8 + 1 + 1
+
+    def test_padding_invariance(self, rng):
+        """Right-padding the source must not change non-pad outputs:
+        positions count non-pad tokens, so they are identical with and
+        without trailing pads (absolute-index positions would also pass
+        this, but interior-pad equivalence below would not)."""
+        m = self._model()
+        src = jax.random.randint(rng, (1, 6), 4, V)
+        prev = jax.random.randint(rng, (1, 6), 4, V)
+        params = m.init(jax.random.PRNGKey(0), src, prev)
+        out_plain = m.apply(params, src, prev, deterministic=True)
+        src_pad = jnp.concatenate(
+            [src, jnp.full((1, 3), 1, src.dtype)], axis=1)
+        out_padded = m.apply(params, src_pad, prev, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out_plain), np.asarray(out_padded),
+            rtol=2e-4, atol=2e-4)
+
+    def test_learned_pos_interop_key(self):
+        from efficient_attention_tpu.interop import _lang_path_to_torch_key
+
+        assert _lang_path_to_torch_key(
+            ["encoder", "embed_positions"]) == \
+            "encoder.embed_positions.weight"
