@@ -197,20 +197,23 @@ class ReduceLROnPlateau:
 
 
 def weight_decay_mask(params) -> Any:
-    """No weight decay for biases / LayerNorm scales / positional embeddings,
-    matching timm's ``no_weight_decay`` convention + the model's exclusions
-    (``efficient_vit.py:no_weight_decay``)."""
+    """timm ``add_weight_decay`` grouping exactly (what DeiT's
+    ``create_optimizer`` builds): no decay for params with ndim <= 1
+    (biases, LayerNorm weights), ``.bias`` leaves, and the model's
+    ``no_weight_decay()`` skip set — which for the reference is ONLY
+    ``{pos_embed, cls_token}`` (``efficient_vit.py:205``).  RPE tables
+    are 2-D and not in the skip set, so the reference DOES decay them;
+    excluding them here was a measured trajectory-parity drift (round
+    4)."""
 
     def decide(path, leaf):
         names = [str(getattr(p, "key", "")) for p in path]
         leafname = names[-1] if names else ""
         if leafname in ("bias",):
             return False
-        if leafname == "scale":  # LayerNorm scale
+        if leafname == "scale":  # LayerNorm scale (ndim 1 in torch)
             return False
-        if any(n in ("pos_embed", "cls_token", "rel_pos_bias",
-                     "relative_attention_bias",
-                     "local_relative_position_bias_table") for n in names):
+        if any(n in ("pos_embed", "cls_token") for n in names):
             return False
         return leaf.ndim >= 2
 

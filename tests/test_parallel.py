@@ -397,6 +397,50 @@ class TestSeqParallelModule:
         assert np.isfinite(float(metrics.loss))
         assert not bool(metrics.skipped)
 
+    def test_attention_collectives_are_summary_sized(self):
+        """Collective-structure lock (VERDICT r3 item 6): the SP attention
+        path all-gathers ONLY the tiny [c, d] chunk summaries.  Inspect
+        the compiled HLO of the sharded forward and assert no all-gather
+        produces anything near full-activation size — the O(c*d)
+        communication claim survives future refactors or it fails here."""
+        import re
+
+        from jax.experimental.shard_map import shard_map
+
+        from efficient_attention_tpu.models.transformer import TransformerLM
+
+        V, D, T = 64, 32, 128
+        kw = dict(vocab_size=V, embed_dim=D, ffn_dim=64, num_layers=2,
+                  num_heads=2, attn_name="causal_eva",
+                  attn_args={"window_size": 8, "chunk_size": 8,
+                             "adaptive_proj": "qk", "use_t5_rpe": True,
+                             "causal": True, "impl": "xla"},
+                  dropout=0.0, max_len=T)
+        sp_model = TransformerLM(**kw, seq_axis="seq")
+        ref_model = TransformerLM(**kw)
+        toks = jnp.asarray(
+            np.random.default_rng(0).integers(2, V, (4, T)), jnp.int32)
+        params = ref_model.init(jax.random.PRNGKey(0), toks[:1])
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                    ("data", "seq"))
+        fn = jax.jit(shard_map(
+            lambda p, t: sp_model.apply(p, t),
+            mesh=mesh, in_specs=(P(), P("data", "seq")),
+            out_specs=P("data", "seq"), check_rep=False))
+        hlo = fn.lower(params, toks).compile().as_text()
+
+        gathers = re.findall(
+            r"= *\(?([a-z0-9]+)\[([0-9,]*)\][^ ]* all-gather", hlo)
+        assert gathers, "expected the [c, d] summary all-gathers in the HLO"
+        # per shard: batch 2, heads 2, c_local 8 -> gathered c 16, d 16
+        # = 1024 elements per summary tensor; a full-activation gather
+        # would be >= b*T*D = 2*128*32 = 8192
+        for dtype, dims in gathers:
+            n = int(np.prod([int(x) for x in dims.split(",") if x] or [1]))
+            assert n <= 2048, (
+                f"oversized all-gather {dtype}[{dims}] ({n} elements): "
+                "the SP path must only gather [c, d] chunk summaries")
+
     def test_train_lm_cli_seq_parallel(self, tmp_path):
         """--seq-parallel on the train_lm CLI: runs on the virtual mesh and
         learns."""
