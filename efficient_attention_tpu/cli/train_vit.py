@@ -111,6 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the reference wraps training in the torch "
                              "profiler under --profile)")
     parser.add_argument("--num-workers", default=8, type=int)
+    parser.add_argument("--uint8-cache", default="", type=str,
+                        help="path prefix of a pre-decoded uint8 image "
+                             "cache (built on first use): removes JPEG "
+                             "decode from the training path on decode-"
+                             "bound hosts")
+    parser.add_argument("--decode-backend", default="thread",
+                        choices=["thread", "process"],
+                        help="host decode workers: GIL-shared threads or a "
+                             "spawn-context process pool (use 'process' "
+                             "when real-JPEG decode can't feed the device "
+                             "rate; see scripts/bench_input_pipeline.py)")
     parser.add_argument("--accum-steps", default=1, type=int)
     parser.add_argument("--max-steps-per-epoch", default=None, type=int,
                         help="truncate epochs (smoke tests)")
@@ -180,6 +191,19 @@ def build_dataset(args, train: bool):
             args.data_path, num_classes=10 if args.data_set == "CIFAR10"
             else 100, img_size=args.input_size, train=train, augment=augment)
     split = "train" if train else "val"
+    cache = getattr(args, "uint8_cache", "")
+    if cache:
+        from efficient_attention_tpu.data.imagenet import CachedUint8Dataset
+
+        path = f"{cache}.{split}"
+        if not os.path.exists(path + ".imgs.npy"):
+            print(f"| building uint8 cache {path} "
+                  f"(one-time decode)", flush=True)
+            CachedUint8Dataset.build(os.path.join(args.data_path, split),
+                                     path, log_every=10000)
+        return CachedUint8Dataset(path, img_size=args.input_size,
+                                  train=train, augment=augment,
+                                  interpolation=args.train_interpolation)
     return ImageFolderDataset(os.path.join(args.data_path, split),
                               img_size=args.input_size, train=train,
                               augment=augment,
@@ -398,7 +422,8 @@ def main(args) -> dict:
             idx = shard_indices(len(train_ds), epoch, args.seed,
                                 num_replicas=nproc, rank=pid)
         loader = PrefetchLoader(train_ds, global_batch // nproc, idx,
-                                num_threads=args.num_workers, seed=epoch)
+                                num_threads=args.num_workers, seed=epoch,
+                                backend=args.decode_backend)
         t0 = time.time()
         for i, (imgs, labels) in enumerate(
                 logger.log_every(loader, 50, f"Epoch [{epoch}]")):
@@ -449,7 +474,9 @@ def evaluate(val_ds, state, eval_step, args, n_dev) -> dict:
     idx = shard_indices(len(val_ds), 0, args.seed, num_replicas=nproc,
                         rank=pid, shuffle=False)
     loader = PrefetchLoader(val_ds, args.batch_size * n_dev, idx,
-                            num_threads=args.num_workers, drop_last=True)
+                            num_threads=args.num_workers, drop_last=True,
+                            backend=getattr(args, "decode_backend",
+                                            "thread"))
     agg = {"acc1": 0.0, "acc5": 0.0, "loss": 0.0}
     n = 0
     params = state.ema_params if state.ema_params is not None else state.params

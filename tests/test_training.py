@@ -247,6 +247,83 @@ class TestImagenetPipeline:
         np.testing.assert_array_equal(
             batches[0][1], np.arange(16) % 4)
 
+    def test_prefetch_loader_process_backend(self):
+        from efficient_attention_tpu.data.imagenet import (
+            PrefetchLoader,
+            SyntheticImageDataset,
+        )
+
+        ds = SyntheticImageDataset(num_samples=32, img_size=8, num_classes=4)
+        loader = PrefetchLoader(ds, batch_size=8, indices=np.arange(32),
+                                num_threads=2, backend="process")
+        batches = list(loader)
+        assert len(batches) == 4
+        assert batches[0][0].shape == (8, 8, 8, 3)
+        np.testing.assert_array_equal(batches[0][1], np.arange(8) % 4)
+
+    def test_prefetch_loader_window_is_bounded(self):
+        """No worker may run further than prefetch+workers batches ahead of
+        the consumer (the round-3 unbounded reorder buffer)."""
+        import threading as _th
+        import time
+
+        from efficient_attention_tpu.data.imagenet import PrefetchLoader
+
+        produced = []
+        lock = _th.Lock()
+
+        class SlowDataset:
+            img_size = 4
+
+            def __len__(self):
+                return 64
+
+            def load(self, idx, rng):
+                with lock:
+                    produced.append(idx)
+                return np.zeros((4, 4, 3), np.float32), 0
+
+        loader = PrefetchLoader(SlowDataset(), batch_size=1,
+                                indices=np.arange(64), num_threads=2,
+                                prefetch=2)
+        it = iter(loader)
+        next(it)
+        time.sleep(0.3)  # let workers run as far ahead as they can
+        # consumed 1; window = prefetch + workers = 4 -> at most
+        # 1 + 4 + (workers already past the gate) batches produced
+        assert len(produced) <= 1 + 4 + 2, produced
+
+    def test_cached_uint8_dataset_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from efficient_attention_tpu.data.imagenet import (
+            CachedUint8Dataset,
+            ImageFolderDataset,
+        )
+
+        root = tmp_path / "imgs"
+        rng = np.random.default_rng(0)
+        for c in range(2):
+            d = root / f"class_{c}"
+            d.mkdir(parents=True)
+            for i in range(3):
+                arr = rng.integers(0, 255, (48, 64, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpg", quality=90)
+        cache = str(tmp_path / "cache")
+        CachedUint8Dataset.build(str(root), cache, cache_side=32)
+        ds = CachedUint8Dataset(cache, img_size=16, train=True)
+        assert len(ds) == 6
+        img, label = ds.load(0, np.random.default_rng(1))
+        assert img.shape == (16, 16, 3) and img.dtype == np.float32
+        assert label in (0, 1)
+        # eval path + label agreement with the folder dataset
+        folder = ImageFolderDataset(str(root), img_size=16, train=False)
+        ds_eval = CachedUint8Dataset(cache, img_size=16, train=False)
+        for i in range(6):
+            _, l1 = folder.load(i, np.random.default_rng(0))
+            _, l2 = ds_eval.load(i, np.random.default_rng(0))
+            assert l1 == l2
+
     def test_ra_sampler(self):
         from efficient_attention_tpu.data.imagenet import ra_sampler_indices
 
