@@ -372,6 +372,87 @@ def main():
                "note": ("1-D halo'd+masked kernel (ops/pallas/eva_1d.py) "
                         "engages on the WMT recipe config")}
 
+    # MT generation e2e (VERDICT r4 item 5): beam-4 / lenpen-0.6 /
+    # max-len-a 1 / max-len-b 50 (recipe main.sh:170-176) at the
+    # transformer_wmt_en_de shape, EVA enc + causal-EVA dec vs softmax
+    def mt_generate_toks_per_s(attn):
+        import time as _time
+
+        import numpy as _np
+
+        from efficient_attention_tpu.generation.beam_search import (
+            SequenceGenerator,
+        )
+        from efficient_attention_tpu.models.transformer import (
+            TransformerModel,
+        )
+
+        V, Bm, SRC, K = 32768, 8, 24, 4
+        if attn == "eva":
+            enc_name, dec_name = "eva", "causal_eva"
+            enc_args = {"window_size": 8, "num_landmarks": 8,
+                        "attn_2d": False, "overlap_window": True,
+                        "use_t5_rpe": True, "use_rpe": False,
+                        "adaptive_proj": "no-ln"}
+            dec_args = {"window_size": 16, "chunk_size": 8,
+                        "adaptive_proj": "qk", "use_t5_rpe": True,
+                        "causal": True}
+        else:
+            enc_name = dec_name = "softmax"
+            enc_args = dec_args = {}
+        model = TransformerModel(
+            src_vocab_size=V, tgt_vocab_size=V,
+            attn_name_encoder=enc_name, attn_args_encoder=enc_args,
+            attn_name_decoder=dec_name, attn_args_decoder=dec_args,
+            dropout=0.0, max_len=256, share_all_embeddings=True)
+        src = jnp.full((Bm, SRC), 5, jnp.int32)
+        params = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), src[:1], src[:1, :4]))()
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
+        enc_out, enc_pad = model.apply(params, src,
+                                       method=TransformerModel.encode)
+        enc_out_k = jnp.repeat(enc_out, K, axis=0)
+        enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
+
+        def step_fn(cache, tokens, step):
+            logits, cache = model.apply(
+                params, cache, tokens, step, enc_out_k, enc_pad_k,
+                method=TransformerModel.decode_step)
+            return logits[:, 0], cache
+
+        def init_cache(bk, max_len):
+            return model.apply(params, bk, max_len,
+                               method=TransformerModel.init_decode_state)
+
+        buf_len = SRC + 50 + 2  # max-len-a*src + max-len-b + bos slack
+        buf_len += (-buf_len) % 16  # decode window divisibility
+        gen = SequenceGenerator(
+            step_fn, init_cache, vocab_size=V, beam_size=K,
+            max_len=buf_len, len_penalty=0.6, max_len_a=1.0, max_len_b=50)
+        lens = jnp.full((Bm,), SRC, jnp.int32)
+        toks, _ = gen.generate(batch=Bm, src_lengths=lens)
+        _np.asarray(toks)  # compile + warm
+        best = 1e30
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            toks, _ = gen.generate(batch=Bm, src_lengths=lens)
+            out = _np.asarray(toks)  # host transfer closes the chain
+            dt = _time.perf_counter() - t0
+            ntok = int((out[:, 0] != 1).sum())
+            best = min(best, dt / max(ntok, 1))
+        return 1.0 / best
+
+    mtg_eva = mt_generate_toks_per_s("eva")
+    mtg_sm = mt_generate_toks_per_s("softmax")
+    mt_generate = {"eva_tokens_per_sec": round(mtg_eva, 1),
+                   "softmax_tokens_per_sec": round(mtg_sm, 1),
+                   "speedup": round(mtg_eva / mtg_sm, 3),
+                   "note": ("beam 4, lenpen 0.6, max-len-a 1, max-len-b "
+                            "50 (main.sh:170-176), wmt_en_de shape, "
+                            "batch 8, greedy-finished token count")}
+
     # PVTv2 multi-scale tracked config (stages at seq 3136/784/196/49)
     def pvt_ips(attn_name):
         attn_args = dict(EVA_ARGS, impl="auto") if attn_name == "eva" else {}
@@ -448,6 +529,7 @@ def main():
             "lm_train_step_t512_recipe": lm_train_t512,
             "lm_decode_step": lm_decode,
             "wmt_encoder_module": wmt_enc,
+            "mt_generate": mt_generate,
             "pvt_nano": pvt,
             "roofline": roofline,
             "device": str(jax.devices()[0]),
