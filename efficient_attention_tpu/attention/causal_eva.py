@@ -131,6 +131,12 @@ class CausalEVAttention(nn.Module):
 
     def setup(self):
         assert self.embed_dim % self.num_heads == 0
+        if self.chunk_size is None and self.num_chunks is None:
+            # the reference crashes deep in forward on this combination
+            # (``causal_eva.py:679`` int(N // None)); fail at build time
+            raise ValueError(
+                "CausalEVAttention needs chunk_size or num_chunks "
+                "(e.g. --attn-chunk-size 8)")
         if self.chunk_size is not None:
             assert (
                 self.window_size >= self.chunk_size
@@ -212,11 +218,13 @@ class CausalEVAttention(nn.Module):
                                            itemsize=itemsize))
 
     def _forward_packed(self, qp, kp, vp, rf_k_bar, beta, rf_chunk_size,
-                        tgt_len, deterministic=True):
+                        tgt_len, deterministic=True, packed_layout=False):
         """Fused Pallas parallel path (``ops/pallas/causal_packed.py``):
-        consumes the packed ``[B, N, H*D]`` projections and the head-major
-        chunk summaries; the XLA path's ``[b, h, g, i, c]`` control-variate
-        logits and joint softmax never materialize in HBM."""
+        consumes the packed ``[B, N, H*D]`` projections and the chunk
+        summaries (head-major ``[b, h, c, d]``, or already-packed
+        ``[B, C, H*D]`` when ``packed_layout``); the XLA path's
+        ``[b, h, g, i, c]`` control-variate logits and joint softmax never
+        materialize in HBM."""
         import numpy as _np
 
         from efficient_attention_tpu.attention.base import on_tpu
@@ -232,14 +240,49 @@ class CausalEVAttention(nn.Module):
         bias = self._t5_bias(w, w)
         if bias is not None:
             tab = tab + bias.astype(jnp.float32)
-        rf_pk = jnp.swapaxes(rf_k_bar, 1, 2).reshape(B, -1, hd)
-        beta_pk = jnp.swapaxes(beta, 1, 2).reshape(B, -1, hd)
+        if packed_layout:
+            rf_pk, beta_pk = rf_k_bar, beta
+        else:
+            rf_pk = jnp.swapaxes(rf_k_bar, 1, 2).reshape(B, -1, hd)
+            beta_pk = jnp.swapaxes(beta, 1, 2).reshape(B, -1, hd)
         from efficient_attention_tpu.models.quant_noise import qn_call
 
         out = causal_eva_packed(
             qp, kp, vp, rf_pk, beta_pk, self.scaling, self.num_heads,
             w, rf_chunk_size, bias_tab=tab, interpret=not on_tpu())
         return qn_call(self.out_proj, out, deterministic)[:, :tgt_len]
+
+    def _summaries_packed(self, qp, kp, vp, cs, deterministic):
+        """Chunk summaries computed IN the packed ``[B, N, H*D]`` layout.
+
+        Same math as the head-major stage below (reference
+        ``causal_eva.py:706-736``: mu = mu_q(mean q) + mu_k(mean k), logp =
+        <mu, k>/sqrt(d) - |k|^2/(2 sqrt(d)), beta = softmax_j(logp) @ v) but
+        every reshape is a contiguous split — no ``[B, H, T, d]`` head
+        transposes and no ``[b, h, c, j, d]`` window scatter.  Measured at
+        the T=512 recipe shape the head-major stage cost ~1 ms/layer
+        fwd+bwd, almost all layout traffic.  The proposal noise is drawn in
+        the head-major shape and transposed (tiny tensor) so sampled
+        trajectories are bit-identical to the XLA path's."""
+        B, N, hd = qp.shape
+        H, d = self.num_heads, self.head_dim
+        C = N // cs
+        q5 = qp.reshape(B, C, cs, H, d)
+        k5 = kp.reshape(B, C, cs, H, d)
+        v5 = vp.reshape(B, C, cs, H, d)
+        rf_q_bar = self.adaptive_mu_q(jnp.mean(q5, axis=2))  # [B, C, H, d]
+        rf_k_bar = self.adaptive_mu_k(jnp.mean(k5, axis=2))
+        mu = rf_q_bar + rf_k_bar
+        if not deterministic:
+            rng = self.make_rng("sample")
+            noise = jax.random.normal(rng, (B, H, C, d), mu.dtype)
+            mu = mu + jnp.transpose(noise, (0, 2, 1, 3))
+        dn = d ** -0.5
+        dash = jnp.sum(mu[:, :, None] * (dn * k5), axis=-1)  # [B, C, cs, H]
+        norm = dn * jnp.sum(jnp.square(k5), axis=-1) / 2.0
+        p = jax.nn.softmax(dash - norm, axis=2)
+        beta = jnp.sum(p[..., None] * v5, axis=2)            # [B, C, H, d]
+        return rf_k_bar.reshape(B, C, hd), beta.reshape(B, C, hd)
 
     # ------------------------------------------------------------- parallel --
     def __call__(
@@ -282,6 +325,24 @@ class CausalEVAttention(nn.Module):
         qp = qn_call(self.q_proj, query, deterministic)
         kp = qn_call(self.k_proj, key, deterministic)
         vp = qn_call(self.v_proj, value, deterministic)
+
+        if self.chunk_size is not None:
+            rf_chunk_size = self.chunk_size
+        else:
+            rf_chunk_size = int(N // self.num_chunks)
+        rf_chunk_size = min(rf_chunk_size, N)
+
+        if (self.seq_axis is None
+                and self._packed_ok(B, N, tgt_len, had_mask, deterministic,
+                                    rf_chunk_size, qp.dtype.itemsize)):
+            # summaries + joint attention both in the packed layout: no
+            # head transposes anywhere on this path
+            rf_pk, beta_pk = self._summaries_packed(
+                qp, kp, vp, rf_chunk_size, deterministic)
+            return self._forward_packed(
+                qp, kp, vp, rf_pk, beta_pk, rf_chunk_size, tgt_len,
+                deterministic=deterministic, packed_layout=True)
+
         q, k, v = split(qp), split(kp), split(vp)
 
         if key_padding_mask is None:
@@ -291,12 +352,6 @@ class CausalEVAttention(nn.Module):
         w_q = W.causal_window_1d_partition(q, self.window_size, 0)
         w_k = W.causal_window_1d_partition(k, self.window_size, self.ext_size)
         w_v = W.causal_window_1d_partition(v, self.window_size, self.ext_size)
-
-        if self.chunk_size is not None:
-            rf_chunk_size = self.chunk_size
-        else:
-            rf_chunk_size = int(N // self.num_chunks)
-        rf_chunk_size = min(rf_chunk_size, N)
 
         rf_w_q = W.causal_window_1d_partition(q, rf_chunk_size, 0)
         rf_w_k = W.causal_window_1d_partition(k, rf_chunk_size, 0)
@@ -358,11 +413,6 @@ class CausalEVAttention(nn.Module):
             x = jnp.swapaxes(W.window_1d_merge(out), 1, 2).reshape(B, N, C)
             return qn_call(self.out_proj, x, deterministic)
 
-        if self._packed_ok(B, N, tgt_len, had_mask, deterministic,
-                           rf_chunk_size, qp.dtype.itemsize):
-            return self._forward_packed(
-                qp, kp, vp, rf_k_bar, beta, rf_chunk_size, tgt_len,
-                deterministic=deterministic)
         if self.impl == "packed":
             raise ValueError(
                 "impl='packed' requires causal mode, no overlap halo, "

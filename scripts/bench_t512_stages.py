@@ -26,10 +26,11 @@ W, CS = 128, 8
 
 def attn_module(name, impl="auto"):
     if name == "softmax":
-        from efficient_attention_tpu.attention.base import SoftmaxAttention
+        from efficient_attention_tpu.models.transformer import (
+            CausalSelfAttention,
+        )
 
-        return SoftmaxAttention(embed_dim=D, num_heads=H, causal=True,
-                                dropout=0.0)
+        return CausalSelfAttention(embed_dim=D, num_heads=H, dropout=0.0)
     from efficient_attention_tpu.attention.causal_eva import (
         CausalEVAttention,
     )
@@ -57,6 +58,19 @@ def module_ms(name, impl="auto", dtype=jnp.bfloat16):
         return x + ((l + gn) > 1e30).astype(x.dtype)
 
     return timeit_loop(fwd_bwd, x, params, n1=3, n2=13)
+
+
+def module_fwd_ms(name, impl="auto", dtype=jnp.bfloat16):
+    m = attn_module(name, impl)
+    x = jnp.ones((B, T, D), dtype)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x,
+                                    deterministic=True))()
+
+    def fwd(x, p):
+        o = m.apply(p, x, deterministic=True).astype(jnp.float32)
+        return x + (jnp.sum(jnp.square(o)) > 1e30).astype(x.dtype)
+
+    return timeit_loop(fwd, x, params, n1=3, n2=13)
 
 
 def summaries_ms(dtype=jnp.bfloat16):
@@ -107,17 +121,31 @@ def summaries_ms(dtype=jnp.bfloat16):
 
 
 def main():
-    for label, fn in [
-        ("causal_eva auto   ", lambda: module_ms("causal_eva", "auto")),
-        ("causal_eva xla    ", lambda: module_ms("causal_eva", "xla")),
-        ("softmax           ", lambda: module_ms("softmax")),
-    ]:
-        print(f"attn module fwd+bwd {label} {fn():8.3f} ms", flush=True)
-    try:
-        print(f"chunk summaries fwd+bwd        {summaries_ms():8.3f} ms",
+    global B, T, D, H
+    for (B, T, D, H) in [(16, 512, 1024, 8), (4, 2048, 512, 8)]:
+        print(f"--- B={B} T={T} d={D} H={H} (window {W} chunk {CS})",
               flush=True)
-    except Exception as e:  # internal-surface drift; report, don't die
-        print("summaries stage timing failed:", e)
+        for label, fn in [
+            ("causal_eva packed ", lambda: module_ms("causal_eva",
+                                                     "packed")),
+            ("causal_eva xla    ", lambda: module_ms("causal_eva", "xla")),
+            ("softmax           ", lambda: module_ms("softmax")),
+        ]:
+            print(f"attn module fwd+bwd {label} {fn():8.3f} ms", flush=True)
+        for label, fn in [
+            ("causal_eva packed ", lambda: module_fwd_ms("causal_eva",
+                                                         "packed")),
+            ("causal_eva xla    ", lambda: module_fwd_ms("causal_eva",
+                                                         "xla")),
+            ("softmax           ", lambda: module_fwd_ms("softmax")),
+        ]:
+            print(f"attn module fwd      {label} {fn():8.3f} ms",
+                  flush=True)
+        try:
+            print(f"chunk summaries fwd+bwd        {summaries_ms():8.3f}"
+                  " ms", flush=True)
+        except Exception as e:  # internal-surface drift; report, don't die
+            print("summaries stage timing failed:", e)
 
 
 if __name__ == "__main__":
