@@ -41,8 +41,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 20)
-
 
 def _dp_table(source, target, source_length, target_length):
     """Full DP table ``[B, S+1, T+1]`` (int32).

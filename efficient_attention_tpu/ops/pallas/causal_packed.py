@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VAL = -5e4
 
+# Backward-pass VMEM budget (bytes).  Module-level so the RB race in
+# scripts/bench_causal_bwd.py can sweep it; 36MB measured best at the
+# T=512 recipe shape (RB=8) under the 100MB scoped limit.
+BWD_BUDGET = 36_000_000
+
 
 def _fwd_bytes(rb: int, w: int, c: int, hd: int, itemsize: int) -> int:
     """Per-step VMEM estimate: fp32 logits/probs + the summary blocks
@@ -266,7 +271,7 @@ def _bwd_fused(q, k, v, rf_p, beta_p, bias_tab, g, scale, nh, w, cs,
     # shape and the backward ran 2.4x slower than the forward)
     while RB > 1 and (3 * RB * w * (w + max(C, 128)) * 4
                       + 2 * RB * C * hd * (isz + 4)
-                      + 7 * RB * w * hd * isz) > 36_000_000:
+                      + 7 * RB * w * hd * isz) > BWD_BUDGET:
         RB //= 2
     ns = T // w
     q4, k4, v4 = (t.reshape(B, ns, w, hd) for t in (q, k, v))
