@@ -66,9 +66,13 @@ class TestLearnedPos:
 
         g = jax.grad(loss_fn)(params)
         pos_g = g["params"]["decoder"]["embed_positions"]
-        # only the first 16 positions participated
-        assert float(jnp.abs(pos_g[:16]).sum()) > 0.0
-        assert float(jnp.abs(pos_g[16:]).sum()) == 0.0
+        # fairseq layout (padding-aware make_positions): with no pads the
+        # occupied rows are pad_idx+1 .. pad_idx+T (= 2..17 for pad_idx 1);
+        # rows 0..pad_idx are reserved and rows past pad_idx+T never index
+        pad = 1
+        assert float(jnp.abs(pos_g[pad + 1:pad + 17]).sum()) > 0.0
+        assert float(jnp.abs(pos_g[:pad + 1]).sum()) == 0.0
+        assert float(jnp.abs(pos_g[pad + 17:]).sum()) == 0.0
 
     def test_sinusoidal_has_no_param(self):
         lm = _lm()
