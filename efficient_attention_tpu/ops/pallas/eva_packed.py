@@ -39,6 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VAL = -5e4
 
+# Backward VMEM working-set budget (bytes) under the 100MB scoped limit;
+# module-level so bench scripts can sweep it like causal_packed.BWD_BUDGET
+# (sweeps must clear _bwd_fused's jit cache AND _make_differentiable's
+# lru_cache, or run in a fresh process).
+BWD_BUDGET = 36_000_000
+
 
 def _pick_rows(b: int, n: int, W: int, ws: int,
                c: int = 0) -> Optional[Tuple[int, int]]:
@@ -430,7 +436,7 @@ def _bwd_fused(qkv, rf_p, beta_p, bias_big, g, scale, nh, W, ws,
     while RB > 1 and (3 * RB * TGS * (TGS + max(C, 128)) * 4
                       + 2 * RB * TGS * hd3 * isz
                       + RB * TGS * (hd3 // 3) * isz
-                      + 4 * RB * C * (hd3 // 3) * (isz + 4)) > 36_000_000:
+                      + 4 * RB * C * (hd3 // 3) * (isz + 4)) > BWD_BUDGET:
         RB //= 2
     ns = N // TGS
     qkv4 = qkv.reshape(B, ns, TGS, three_hd)

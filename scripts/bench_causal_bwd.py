@@ -29,6 +29,9 @@ def _row_bytes(w: int, c: int, hd: int, isz: int) -> int:
 def bwd_ms(B, T, D, H, W, CS, budget, dtype=jnp.bfloat16):
     cp.BWD_BUDGET = budget
     cp._bwd_fused.clear_cache()
+    # the custom-vjp closures cache compiled backwards too — without this a
+    # module-level fwd+bwd compiled earlier in-process would keep its old RB
+    cp._make_differentiable.cache_clear()
     C = T // CS
     ks = jax.random.split(jax.random.PRNGKey(0), 7)
     q, k, v, g = (0.1 * jax.random.normal(kk, (B, T, D), dtype)
@@ -63,6 +66,7 @@ def fwd_ms(B, T, D, H, W, CS, dtype=jnp.bfloat16):
 
 
 def main():
+    shipped_budget = cp.BWD_BUDGET
     for (B, T, D, H, W, CS) in [(16, 512, 1024, 8, 128, 8),
                                 (4, 2048, 512, 8, 128, 8)]:
         C = T // CS
@@ -82,6 +86,11 @@ def main():
             except Exception as e:
                 print(f"bwd RB={rb:<2d} FAILED: {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
+    # restore the shipped budget (and drop sweep-compiled closures) so any
+    # further work in this process uses the production RB choice
+    cp.BWD_BUDGET = shipped_budget
+    cp._bwd_fused.clear_cache()
+    cp._make_differentiable.cache_clear()
 
 
 if __name__ == "__main__":
