@@ -262,8 +262,11 @@ class CausalEVAttention(nn.Module):
         transposes and no ``[b, h, c, j, d]`` window scatter.  Measured at
         the T=512 recipe shape the head-major stage cost ~1 ms/layer
         fwd+bwd, almost all layout traffic.  The proposal noise is drawn in
-        the head-major shape and transposed (tiny tensor) so sampled
-        trajectories are bit-identical to the XLA path's."""
+        the head-major shape and transposed (tiny tensor) so the drawn bits
+        are identical to the XLA path's; the surrounding summary numerics
+        (mul-sum vs einsum, layout-transposed Dense/LayerNorm) agree to
+        rounding, which is why the parity tests use atol ~3e-5 rather than
+        exact equality."""
         B, N, hd = qp.shape
         H, d = self.num_heads, self.head_dim
         C = N // cs

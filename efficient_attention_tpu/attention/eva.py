@@ -115,9 +115,11 @@ class EVA(LocalAttention):
     # [RB, N, 3HD] qkv block (ops/pallas/eva_single.py) — qkv streams from
     # HBM exactly once and the summaries never round-trip HBM, removing
     # the two round-3 measured killers (double qkv traffic + an extra
-    # custom-call boundary) in one design.  Opt-in pending on-chip
-    # measurement at the bench geometry
-    use_single_kernel: bool = False
+    # custom-call boundary) in one design.  Default ON since the round-5
+    # race: 1.26-1.33 vs the two-kernel packed path's 1.33-1.63 ms/layer
+    # in-module at the bench geometry (B=128 bf16 DeiT-tiny-p8), f32
+    # on-chip parity 1e-4
+    use_single_kernel: bool = True
 
     def setup(self):
         self._setup_projections()
