@@ -257,47 +257,65 @@ def main(args) -> dict:
     outputs = []
     gen_lines = []
     ids = list(range(min(len(src), args.gen_subset_size)))
+
+    # ---- jitted generation plumbing (shared across batches) ----
+    # Model params and the per-batch encoder outputs ride the generator's
+    # ``ctx`` pytree — traced jit arguments, so repeat batches with the
+    # same (bucketed) shapes reuse ONE compiled beam-loop executable
+    # instead of re-tracing the decoder body per batch.  The cross-attn
+    # K/V is projected once per sentence at init (fairseq static_kv,
+    # ``transformer_layer.py:435-450``).
+    def step_fn(ctx, cache, tokens, step):
+        p, _, pad_k, lmp = ctx
+        if lm_model is not None:
+            states, lm_states = cache
+        else:
+            states = cache
+        logits, states = model.apply(
+            p, states, tokens, step, None, pad_k,
+            method=TransformerModel.decode_step)
+        out = logits[:, 0]
+        if lm_model is not None:
+            # shallow fusion: log p_MT + w * log p_LM (the beam
+            # renormalizes the fused row)
+            lm_logits, lm_states = lm_model.apply(
+                lmp, lm_states, tokens, step,
+                method=lm_model.decode_step)
+            out = (jax.nn.log_softmax(out, axis=-1)
+                   + args.lm_weight
+                   * jax.nn.log_softmax(lm_logits[:, 0], axis=-1))
+            return out, (states, lm_states)
+        # --unkpen is applied INSIDE the generator after its
+        # normalization (fairseq lprobs semantics)
+        return out, states
+
+    def init_cache(ctx, bk, max_len):
+        p, out_k, _, lmp = ctx
+        states = model.apply(p, bk, max_len, jnp.float32, out_k,
+                             method=TransformerModel.init_decode_state)
+        if lm_model is not None:
+            return states, lm_model.apply(
+                lmp, bk, max_len, method=lm_model.init_decode_state)
+        return states
+
+    generators = {}  # (buf_len, frozen len_kw) -> SequenceGenerator
+
     for i in range(0, len(ids), args.gen_batch):
         chunk = ids[i: i + args.gen_batch]
-        src_b = collate_tokens([src[j] for j in chunk], pad_idx=1)
+        # bucket the source pad length to a multiple of 16 so encoder /
+        # beam-loop executables recur across batches (padding only adds
+        # masked keys; results are unchanged)
+        src_pad_to = max(len(src[j]) for j in chunk)
+        src_pad_to += (-src_pad_to) % 16
+        src_b = collate_tokens([src[j] for j in chunk], pad_idx=1,
+                               pad_to_length=src_pad_to)
         B = src_b.shape[0]
         enc_out, enc_pad = model.apply(params, jnp.asarray(src_b),
                                        method=TransformerModel.encode)
         # expand encoder outputs over beams
         enc_out_k = jnp.repeat(enc_out, K, axis=0)
         enc_pad_k = jnp.repeat(enc_pad, K, axis=0)
-
-        def step_fn(cache, tokens, step):
-            if lm_model is not None:
-                states, lm_states = cache
-            else:
-                states, = (cache,)
-            logits, states = model.apply(
-                params, states, tokens, step, enc_out_k, enc_pad_k,
-                method=TransformerModel.decode_step)
-            out = logits[:, 0]
-            if lm_model is not None:
-                # shallow fusion: log p_MT + w * log p_LM (the beam
-                # renormalizes the fused row)
-                lm_logits, lm_states = lm_model.apply(
-                    lm_params, lm_states, tokens, step,
-                    method=lm_model.decode_step)
-                out = (jax.nn.log_softmax(out, axis=-1)
-                       + args.lm_weight
-                       * jax.nn.log_softmax(lm_logits[:, 0], axis=-1))
-                return out, (states, lm_states)
-            # --unkpen is applied INSIDE the generator after its
-            # normalization (fairseq lprobs semantics)
-            return out, states
-
-        def init_cache(bk, max_len):
-            states = model.apply(params, bk, max_len,
-                                 method=TransformerModel.init_decode_state)
-            if lm_model is not None:
-                return states, lm_model.apply(
-                    lm_params, bk, max_len,
-                    method=lm_model.init_decode_state)
-            return states
+        ctx = (params, enc_out_k, enc_pad_k, lm_params)
 
         src_lens = (np.asarray(src_b) != 1).sum(axis=1)
         if args.match_source_len:
@@ -310,6 +328,7 @@ def main(args) -> dict:
             len_kw = dict(min_len=args.min_len, max_len_a=args.max_len_a,
                           max_len_b=(args.max_len_b if args.max_len_a > 0
                                      else None))
+        buf_len += (-buf_len) % 16  # bucket: executables recur
         pscores = None
         if args.score_reference:
             # teacher-forcing scoring of the references (fairseq
@@ -340,29 +359,35 @@ def main(args) -> dict:
                     jax.random.PRNGKey(args.seed), i),
                 temperature=args.temperature,
                 top_k=max(args.sampling_topk, 0),
-                top_p=max(args.sampling_topp, 0.0), return_scores=True)
+                top_p=max(args.sampling_topp, 0.0), return_scores=True,
+                ctx=ctx)
             tokens = jnp.concatenate(
                 [jnp.full((B, 1), 2, jnp.int32), toks_flat],
                 axis=1)[:, None, :]
             scores = samp_scores[:, None]
         else:
-            gen = SequenceGenerator(
-                step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
-                max_len=buf_len,
-                len_penalty=0.0 if args.unnormalized else args.lenpen,
-                no_repeat_ngram_size=args.no_repeat_ngram_size,
-                unk_penalty=args.unkpen,
-                diversity_groups=max(args.diverse_beam_groups, 1),
-                diversity_strength=args.diverse_beam_strength,
-                diverse_siblings_gamma=max(args.diversity_rate, 0.0),
-                **len_kw)
+            gen_key = (buf_len, tuple(sorted(
+                (k, v) for k, v in len_kw.items() if v is not None)))
+            if gen_key not in generators:
+                generators[gen_key] = SequenceGenerator(
+                    step_fn, init_cache, vocab_size=tgt_vocab, beam_size=K,
+                    max_len=buf_len,
+                    len_penalty=0.0 if args.unnormalized else args.lenpen,
+                    no_repeat_ngram_size=args.no_repeat_ngram_size,
+                    unk_penalty=args.unkpen,
+                    diversity_groups=max(args.diverse_beam_groups, 1),
+                    diversity_strength=args.diverse_beam_strength,
+                    diverse_siblings_gamma=max(args.diversity_rate, 0.0),
+                    **len_kw)
+            gen = generators[gen_key]
             prefix = None
             if args.prefix_size > 0:
                 prefix = collate_tokens(
-                    [tgt[j][: args.prefix_size] for j in chunk], pad_idx=1)
+                    [tgt[j][: args.prefix_size] for j in chunk], pad_idx=1,
+                    pad_to_length=args.prefix_size)
             tokens, scores = gen.generate(
                 batch=B, prefix_tokens=prefix,
-                src_lengths=jnp.asarray(src_lens))
+                src_lengths=jnp.asarray(src_lens), ctx=ctx)
         align = None
         if args.print_alignment:
             # teacher-force the 1-best hypotheses through the model and

@@ -130,6 +130,12 @@ class SequenceGenerator:
         self.min_len_a = min_len_a
         self.max_len_a = max_len_a
         self.max_len_b = max_len_b
+        # the WHOLE beam loop is one jitted callable per generator
+        # instance: repeat calls with the same shapes hit the executable
+        # cache instead of re-tracing the decoder body every time (fairseq
+        # gets this for free from eager CUDA-graph caching; under JAX an
+        # un-jitted lax.while_loop construction re-lowers per call)
+        self._jit_run = jax.jit(self._run, static_argnames=("batch",))
 
     def _ngram_block(self, tokens: Array, logp: Array, step: Array) -> Array:
         """Ban next-tokens completing an already-seen n-gram — vectorized
@@ -160,7 +166,7 @@ class SequenceGenerator:
         ))(matches, next_tok)
         return jnp.where(banned, NEG_INF, logp)
 
-    def _init_state(self, batch: int) -> BeamState:
+    def _init_state(self, batch: int, init_cache_fn: Callable) -> BeamState:
         K, L = self.beam_size, self.max_len
         tokens = jnp.full((batch, K, L + 1), self.pad, jnp.int32)
         tokens = tokens.at[:, :, 0].set(self.bos)
@@ -172,7 +178,7 @@ class SequenceGenerator:
             finished_tokens=tokens,
             finished_scores=jnp.full((batch, K), NEG_INF),
             finished_mask=jnp.zeros((batch, K), bool),
-            cache=self.init_cache_fn(batch * K, L + 1),
+            cache=init_cache_fn(batch * K, L + 1),
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -245,9 +251,20 @@ class SequenceGenerator:
     def generate(self, batch: int,
                  prefix_tokens: Optional[Array] = None,
                  constraints: Optional[Array] = None,
-                 src_lengths: Optional[Array] = None) -> Tuple[Array, Array]:
+                 src_lengths: Optional[Array] = None,
+                 ctx: Any = None) -> Tuple[Array, Array]:
         """Run the full beam loop; returns (tokens [B, K, L+1],
         scores [B, K]) sorted best-first.
+
+        The loop runs under ``jax.jit`` — repeat calls with the same shapes
+        reuse the compiled executable.  ``ctx`` is an arbitrary pytree
+        passed through as the FIRST argument of ``step_fn(ctx, cache,
+        tokens, step)`` and ``init_cache_fn(ctx, batch, max_len)``: model
+        params / encoder outputs belong here (as traced jit arguments), NOT
+        in the step_fn closure, where they would be baked into the
+        executable as constants and force a re-trace per batch.  Without
+        ``ctx`` the legacy 3-arg ``step_fn(cache, tokens, step)`` /
+        2-arg ``init_cache_fn(batch, max_len)`` signatures apply.
 
         ``prefix_tokens`` [B, P] forces each hypothesis to begin with the
         given tokens (``sequence_generator.py:_prefix_tokens``; pad entries
@@ -261,17 +278,34 @@ class SequenceGenerator:
         allocation (``generation/constraints.py``); eos is banned until a
         hypothesis has generated all its constraints.
         """
-        K, V = self.beam_size, self.vocab_size
-        state = self._init_state(batch)
         if prefix_tokens is not None:
             prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+        if constraints is not None:
+            constraints = jnp.asarray(constraints, jnp.int32)
+            if self.diversity_groups > 1 or self.diverse_siblings_gamma > 0:
+                raise ValueError("lexical constraints cannot combine with "
+                                 "diverse search strategies (fairseq "
+                                 "sequence_generator.py raises likewise)")
+        if src_lengths is None and (self.min_len_a or self.max_len_a):
+            raise ValueError("min_len_a/max_len_a scale with the source "
+                             "length; pass generate(src_lengths=...)")
+        return self._jit_run(ctx, prefix_tokens, constraints, src_lengths,
+                             batch=batch)
+
+    def _run(self, ctx: Any, prefix_tokens: Optional[Array],
+             constraints: Optional[Array], src_lengths: Optional[Array],
+             batch: int) -> Tuple[Array, Array]:
+        if ctx is not None:
+            step_fn = functools.partial(self.step_fn, ctx)
+            init_cache_fn = functools.partial(self.init_cache_fn, ctx)
+        else:
+            step_fn, init_cache_fn = self.step_fn, self.init_cache_fn
+        K, V = self.beam_size, self.vocab_size
+        state = self._init_state(batch, init_cache_fn)
         # per-sentence output-length bounds (LengthConstrainedBeamSearch,
         # ``search.py:526-549``); scalar fallbacks without src_lengths
         if src_lengths is not None:
             sl = jnp.asarray(src_lengths, jnp.float32)
-        elif self.min_len_a or self.max_len_a:
-            raise ValueError("min_len_a/max_len_a scale with the source "
-                             "length; pass generate(src_lengths=...)")
         else:
             sl = jnp.zeros((batch,), jnp.float32)
         min_lens = self.min_len_a * sl + self.min_len  # [B]
@@ -284,14 +318,10 @@ class SequenceGenerator:
         if constraints is not None:
             from efficient_attention_tpu.generation import constraints as C
 
-            cons = jnp.asarray(constraints, jnp.int32)
+            cons = constraints
             cons_lens = C.constraint_lengths(cons, self.pad)
             state = state._replace(
                 cons=C.init_state(batch, K, cons.shape[1]))
-            if self.diversity_groups > 1 or self.diverse_siblings_gamma > 0:
-                raise ValueError("lexical constraints cannot combine with "
-                                 "diverse search strategies (fairseq "
-                                 "sequence_generator.py raises likewise)")
 
         def cond(state: BeamState):
             best_alive = jnp.max(
@@ -307,7 +337,7 @@ class SequenceGenerator:
         def body(state: BeamState) -> BeamState:
             cur = jax.lax.dynamic_slice_in_dim(
                 state.tokens, state.step, 1, axis=2)  # [B, K, 1]
-            logp, cache = self.step_fn(
+            logp, cache = step_fn(
                 state.cache, cur.reshape(batch * K, 1), state.step)
             logp = logp.reshape(batch, K, V)
             logp = jax.nn.log_softmax(logp, axis=-1) \
@@ -422,14 +452,20 @@ def _is_normalized(logp: Array) -> bool:
 
 def sample_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, rng,
                   pad=1, temperature: float = 1.0, top_k: int = 0,
-                  top_p: float = 0.0, return_scores: bool = False):
+                  top_p: float = 0.0, return_scores: bool = False,
+                  ctx: Any = None):
     """Ancestral / top-k / top-p sampling (``fairseq search.Sampling``,
     ``search.py:621-743``: ``--sampling --sampling-topk --sampling-topp
     --temperature``).  ``top_p`` keeps the smallest prefix of the sorted
     distribution whose cumulative probability reaches p (the boundary token
     included, as in ``_sample_topp``).  With ``return_scores``, also returns
     the summed log-probability of each sampled hypothesis (fairseq reports
-    these as the H- line scores)."""
+    these as the H- line scores).  ``ctx`` follows the
+    :meth:`SequenceGenerator.generate` convention (first argument of
+    ``step_fn``/``init_cache_fn``)."""
+    if ctx is not None:
+        step_fn = functools.partial(step_fn, ctx)
+        init_cache_fn = functools.partial(init_cache_fn, ctx)
     cache = init_cache_fn(batch, max_len + 1)
 
     def body(carry, step):
@@ -468,8 +504,12 @@ def sample_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, rng,
     return tokens
 
 
-def greedy_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, pad=1):
+def greedy_decode(step_fn, init_cache_fn, batch, max_len, bos, eos, pad=1,
+                  ctx: Any = None):
     """Greedy decoding as a lax.scan (used by eval/smoke paths)."""
+    if ctx is not None:
+        step_fn = functools.partial(step_fn, ctx)
+        init_cache_fn = functools.partial(init_cache_fn, ctx)
     cache = init_cache_fn(batch, max_len + 1)
 
     def body(carry, step):

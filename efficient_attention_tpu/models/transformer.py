@@ -150,6 +150,35 @@ class CrossAttention(nn.Module):
             return out, jnp.mean(attn, axis=1)
         return out
 
+    # ----- incremental decoding (fairseq ``static_kv`` semantics:
+    # ``transformer_layer.py:435-450`` passes static_kv=True so
+    # ``multihead_attention.py:199-280`` projects the encoder K/V ONCE per
+    # sentence and replays the saved tensors at every decode step) -----
+    def precompute_kv(self, enc_out):
+        """Project encoder states to split-head K/V ``[B, H, S, D]`` once;
+        the pair lives in the decode-state pytree and is reordered by beam
+        gathers like any other cache entry."""
+        B = enc_out.shape[0]
+        return (self._split(self.k_proj(enc_out), B),
+                self._split(self.v_proj(enc_out), B))
+
+    def decode_step(self, x, cached_k, cached_v, enc_padding_mask=None):
+        """One-token cross-attention using the precomputed encoder K/V —
+        only the query projection runs per step."""
+        B = x.shape[0]
+        q = self._split(self.q_proj(x), B)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, cached_k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * self.head_dim**-0.5
+        if enc_padding_mask is not None:
+            logits = jnp.where(
+                enc_padding_mask[:, None, None, :].astype(bool), MASK_VAL,
+                logits)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, cached_v)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.embed_dim)
+        return self.out_proj(out)
+
 
 class KVCache(NamedTuple):
     """Fixed-capacity decoder KV cache."""
@@ -413,10 +442,24 @@ class DecoderLayer(nn.Module):
         return x
 
     # ----- incremental decoding -----
-    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
-        return self.self_attn.init_decode_state(batch_size, max_len, dtype)
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32,
+                          enc_out=None):
+        """Self-attention cache, plus (with ``enc_out``) the fairseq
+        ``static_kv`` analogue: cross-attention K/V projected ONCE here and
+        carried in the state pytree so decode steps never re-project the
+        encoder output (reference ``transformer_layer.py:435-450``,
+        ``multihead_attention.py:199-280``)."""
+        self_state = self.self_attn.init_decode_state(
+            batch_size, max_len, dtype)
+        if enc_out is None or not self.has_cross:
+            return self_state
+        return (self_state, self.cross_attn.precompute_kv(enc_out))
 
     def decode_step(self, state, x, enc_out=None, enc_padding_mask=None):
+        cross_kv = None
+        if isinstance(state, tuple) and len(state) == 2 \
+                and not hasattr(state, "_fields"):
+            state, cross_kv = state
         residual = x
         if self.normalize_before:
             x = self.ln_self(x)
@@ -424,12 +467,16 @@ class DecoderLayer(nn.Module):
         x = residual + x
         if not self.normalize_before:
             x = self.ln_self(x)
-        if self.has_cross and enc_out is not None:
+        if self.has_cross and (cross_kv is not None or enc_out is not None):
             residual = x
             if self.normalize_before:
                 x = self.ln_cross(x)
-            x = self.cross_attn(x, enc_out, enc_padding_mask,
-                                deterministic=True)
+            if cross_kv is not None:
+                x = self.cross_attn.decode_step(
+                    x, cross_kv[0], cross_kv[1], enc_padding_mask)
+            else:
+                x = self.cross_attn(x, enc_out, enc_padding_mask,
+                                    deterministic=True)
             x = residual + x
             if not self.normalize_before:
                 x = self.ln_cross(x)
@@ -440,6 +487,9 @@ class DecoderLayer(nn.Module):
         x = residual + x
         if not self.normalize_before:
             x = self.ln_ffn(x)
+        if cross_kv is not None:
+            # keep the static K/V in the state pytree for the next step
+            return x, (state, cross_kv)
         return x, state
 
 
@@ -722,8 +772,13 @@ class TransformerDecoder(nn.Module):
         return self._output_layer(x), attn
 
     # ----- incremental decoding -----
-    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
-        return [layer.init_decode_state(batch_size, max_len, dtype)
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32,
+                          enc_out=None):
+        """With ``enc_out``, each layer's cross-attention K/V is projected
+        ONCE here (fairseq ``static_kv``) and decode steps skip the two
+        ``[B*K, SRC, D]`` projections per layer per token."""
+        return [layer.init_decode_state(batch_size, max_len, dtype,
+                                        enc_out=enc_out)
                 for layer in self.layers]
 
     def decode_step(self, states, tokens, pos, enc_out=None,
@@ -835,10 +890,14 @@ class TransformerModel(nn.Module):
         return self.decoder.forward_with_alignment(
             prev_output_tokens, enc_out, enc_padding)
 
-    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32):
-        return self.decoder.init_decode_state(batch_size, max_len, dtype)
+    def init_decode_state(self, batch_size, max_len, dtype=jnp.float32,
+                          enc_out=None):
+        return self.decoder.init_decode_state(batch_size, max_len, dtype,
+                                              enc_out=enc_out)
 
     def decode_step(self, states, tokens, pos, enc_out, enc_padding_mask):
+        """``enc_out`` may be None when the state was initialized with
+        ``init_decode_state(..., enc_out=...)`` (static-KV caching)."""
         return self.decoder.decode_step(states, tokens, pos, enc_out,
                                         enc_padding_mask)
 

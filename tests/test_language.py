@@ -228,6 +228,31 @@ class TestTransformerModels:
         inc = jnp.stack(outs, axis=1)
         np.testing.assert_allclose(full, inc, atol=2e-4)
 
+    def test_mt_static_kv_matches_parallel(self, rng):
+        """fairseq ``static_kv`` analogue: cross-attn K/V projected ONCE at
+        ``init_decode_state(..., enc_out=...)`` and decode steps called with
+        ``enc_out=None`` must match parallel teacher forcing (reference
+        ``transformer_layer.py:435-450``, ``multihead_attention.py:199-280``)."""
+        m = TransformerModel(
+            src_vocab_size=V, tgt_vocab_size=V, embed_dim=D, ffn_dim=64,
+            num_layers=2, num_heads=4,
+            attn_name_decoder="softmax")
+        src = jax.random.randint(rng, (2, 12), 4, V)
+        prev = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 4, V)
+        params = m.init(jax.random.PRNGKey(0), src, prev)
+        full = m.apply(params, src, prev)
+        enc_out, enc_pad = m.apply(params, src, method=TransformerModel.encode)
+        states = m.apply(params, 2, 8, jnp.float32, enc_out,
+                         method=TransformerModel.init_decode_state)
+        outs = []
+        for t in range(8):
+            logits, states = m.apply(
+                params, states, prev[:, t:t + 1], t, None, enc_pad,
+                method=TransformerModel.decode_step)
+            outs.append(logits[:, 0])
+        inc = jnp.stack(outs, axis=1)
+        np.testing.assert_allclose(full, inc, atol=2e-4)
+
     def test_lm_causal_eva_incremental_matches_parallel(self, rng):
         m = TransformerLM(vocab_size=V, embed_dim=D, ffn_dim=64, num_layers=2,
                           num_heads=4, attn_name="causal_eva",
