@@ -51,9 +51,9 @@ EVA_ARGS = {
 }
 
 
-def build(attn_name: str, impl: str = "auto"):
+def build(attn_name: str, impl: str = "auto", **extra_attn):
     if attn_name == "eva":
-        attn_args = dict(EVA_ARGS, impl=impl)
+        attn_args = dict(EVA_ARGS, impl=impl, **extra_attn)
     else:
         attn_args = {}
     return create_model(
@@ -161,7 +161,11 @@ def train_step_ms(attn_name: str, impl: str = "packed",
     """Full training fwd+bwd ms/step (the 300-epoch recipe's hot loop)."""
     import optax
 
-    model = build(attn_name, impl=impl)
+    # deterministic=True + grad would route EVA through the eval-only
+    # single kernel, whose VJP is the (slower) XLA-twin fallback; the real
+    # trainer's hot path is the packed kernels' fused VJP — measure that
+    extra = {"use_single_kernel": False} if attn_name == "eva" else {}
+    model = build(attn_name, impl=impl, **extra)
     x = jnp.ones((batch, 224, 224, 3), jnp.bfloat16)
     y = jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), 1000)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1],

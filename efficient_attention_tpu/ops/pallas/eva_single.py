@@ -300,6 +300,91 @@ def _fwd(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s, lnk_b,
     return out.reshape(B, N, hd)
 
 
+def eva_single_twin(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b,
+                    lnk_s, lnk_b, add_big, *, scale, nh, j, use_ln):
+    """Pure-XLA functional twin of the kernel math over the SAME packed
+    operands.  Two jobs: (1) the custom-vjp backward fallback — a caller
+    differentiating the eval path (e.g. a grad of a deterministic forward)
+    gets the exact gradient of this form instead of a Mosaic AD error;
+    (2) an independently testable statement of what the kernel computes."""
+    B, N, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // nh
+    ns, c8, tgs = P.shape
+    dn = d ** -0.5
+    x4 = qkv.reshape(B, ns, tgs, three_hd).astype(jnp.float32)
+    means = jnp.einsum("sct,bstf->bcf", P, x4) / float(j * j)
+    rf_k = means @ wk_big + bk
+    rf_q = means @ wq_big + bq
+    if use_ln:
+        def ln(x, s, b, eps=1e-6):
+            xh = x.reshape(B, c8, nh, d)
+            m = xh.mean(-1, keepdims=True)
+            var = (xh * xh).mean(-1, keepdims=True) - m * m
+            y = (xh - m) * jax.lax.rsqrt(var + eps)
+            return y.reshape(B, c8, hd) * s + b
+
+        rf_k = ln(rf_k, lnk_s, lnk_b)
+        rf_q = ln(rf_q, lnq_s, lnq_b)
+    muh = (0.5 * (rf_q + rf_k)).reshape(B, c8, nh, d)
+    qh = x4[..., :hd].reshape(B, ns, tgs, nh, d)
+    kh = x4[..., hd:2 * hd].reshape(B, ns, tgs, nh, d)
+    vh = x4[..., 2 * hd:].reshape(B, ns, tgs, nh, d)
+    # per-chunk softmax over member tokens, stabilized by the exact
+    # data-independent bound m_c = |mu|^2/(2 sqrt(d)) (see kernel docstring)
+    m_c = (0.5 * dn) * jnp.sum(muh * muh, -1)                # [B, C8, H]
+    dash = dn * jnp.einsum("bchd,bsthd->bcsth", muh, kh)
+    norm = (0.5 * dn) * jnp.sum(kh * kh, -1)                 # [B,ns,tgs,H]
+    p = jnp.exp(dash - norm[:, None] - m_c[:, :, None, None])
+    p = p * P.transpose(1, 0, 2)[None, :, :, :, None]
+    # clamp at 1e-15, NOT the kernel's 1e-30: the VJP divides by den^2
+    # and (1e-30)^2 underflows f32 to zero -> 0/0 NaN for pad chunks
+    den = jnp.maximum(p.sum((2, 3)), 1e-15)                  # [B, C8, H]
+    beta = jnp.einsum("bcsth,bsthd->bchd", p, vh) / den[..., None]
+    # joint local/chunk attention per strip: keys [kh | rf_k], vals
+    # [vh | beta], one additive table carrying bias/visibility/pad-chunks
+    rf_kh = rf_k.reshape(B, c8, nh, d)
+    logits = jnp.concatenate([
+        jnp.einsum("bsthd,bsuhd->bshtu", qh, kh),
+        jnp.einsum("bsthd,bchd->bshtc", qh, rf_kh),
+    ], axis=-1) * scale + add_big[None, None]
+    w = jax.nn.softmax(logits, axis=-1)
+    out = (jnp.einsum("bshtu,bsuhd->bsthd", w[..., :tgs], vh)
+           + jnp.einsum("bshtc,bchd->bsthd", w[..., tgs:], beta))
+    return out.reshape(B, N, hd).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15,
+                                                    16, 17))
+def _single(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s, lnk_b,
+            add_big, scale, nh, gw, ws, j, use_ln, interpret):
+    return _fwd(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s,
+                lnk_b, add_big, scale, nh, gw, ws, j, use_ln,
+                interpret=interpret)
+
+
+def _single_fwd(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s,
+                lnk_b, add_big, scale, nh, gw, ws, j, use_ln, interpret):
+    out = _single(qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s,
+                  lnk_b, add_big, scale, nh, gw, ws, j, use_ln, interpret)
+    return out, (qkv, P, wq_big, bq, wk_big, bk, lnq_s, lnq_b, lnk_s,
+                 lnk_b, add_big)
+
+
+def _single_bwd(scale, nh, gw, ws, j, use_ln, interpret, res, g):
+    # the kernel is eval-only; gradients (rare: grad of a deterministic
+    # forward) fall back to the exact VJP of the XLA twin at the saved
+    # inputs — correct everywhere, not tuned for speed (training uses the
+    # packed kernels whose fused VJP is registered)
+    _, vjp = jax.vjp(
+        functools.partial(eva_single_twin, scale=scale, nh=nh, j=j,
+                          use_ln=use_ln), *res)
+    return vjp(g)
+
+
+_single.defvjp(_single_fwd, _single_bwd)
+
+
 def eva_attention_single(
     qkv: jax.Array,                      # [B, N, 3*H*D]
     wq: jax.Array, bq: jax.Array,        # adaptive_mu_q Dense [d, d], [d]
@@ -359,7 +444,7 @@ def eva_attention_single(
         lnq_bias = jnp.zeros((d,), jnp.float32)
         lnk_scale = jnp.ones((d,), jnp.float32)
         lnk_bias = jnp.zeros((d,), jnp.float32)
-    return _fwd(qkv, P, wq_big, tile(bq), wk_big, tile(bk),
-                tile(lnq_scale), tile(lnq_bias), tile(lnk_scale),
-                tile(lnk_bias), add_big, float(scale), nh, gw, ws,
-                j, use_ln, interpret=interpret)
+    return _single(qkv, P, wq_big, tile(bq), wk_big, tile(bk),
+                   tile(lnq_scale), tile(lnq_bias), tile(lnk_scale),
+                   tile(lnk_bias), add_big, float(scale), nh, gw, ws,
+                   j, use_ln, interpret)

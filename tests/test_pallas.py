@@ -838,6 +838,86 @@ class TestEvaSingleKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("use_ln", [True, False])
+    def test_twin_matches_kernel_and_grads_flow(self, rng, use_ln):
+        """The pure-XLA twin (the custom-vjp backward fallback) computes
+        the same function as the kernel, and grad-through-the-eval-path
+        works (VJP falls back to the twin instead of a Mosaic AD error)."""
+        from efficient_attention_tpu.ops.pallas.eva_single import (
+            eva_attention_single,
+        )
+
+        Bp, nh, d, gh, gw, ws, j = 2, 3, 16, 8, 8, 4, 4
+        hd = nh * d
+        N = gh * gw
+        qkv = jax.random.normal(rng, (Bp, N, 3 * hd))
+        wq, bq, wk, bk, lnq_s, lnq_b, lnk_s, lnk_b = self._params(d)
+        ln = (lnq_s, lnq_b, lnk_s, lnk_b) if use_ln else (None,) * 4
+        scale = d ** -0.5
+
+        def f(q):
+            out = eva_attention_single(
+                q, wq, bq, wk, bk, *ln, scale, nh, gw, ws, j, use_ln,
+                interpret=True)
+            return jnp.sum(out * out)
+
+        val, g = jax.value_and_grad(f)(qkv)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(g)).all()
+
+        # the custom-vjp wiring (nondiff-arg order, residual order) must
+        # route to the twin's VJP at the same operand packing: rebuild the
+        # packed operands exactly as eva_attention_single does and compare
+        # against jax.grad of the twin directly.  (The twin's own autodiff
+        # is plain jnp ops; its equality to the kernel FUNCTION is the
+        # parity assertion below — f32 finite differences through the
+        # interpret-mode kernel are too noisy to gate on.)
+        from efficient_attention_tpu.ops.pallas.eva_packed import (
+            MASK_VAL,
+            _strip_maps,
+        )
+        from efficient_attention_tpu.ops.pallas.eva_single import (
+            _chunk_membership,
+            _round8,
+            eva_single_twin,
+        )
+
+        tgs = gw * ws
+        ns = N // tgs
+        C = (gh // j) * (gw // j)
+        c8 = _round8(C)
+        _, mask_add = _strip_maps(gw, ws, tgs)
+        col = np.arange(c8)
+        cmask = jnp.asarray(np.where(col < C, 0.0, MASK_VAL), jnp.float32)
+        add_big = jnp.concatenate(
+            [jnp.broadcast_to(mask_add, (nh, tgs, tgs)),
+             jnp.broadcast_to(cmask, (nh, tgs, c8))], axis=-1)
+        P = jnp.asarray(_chunk_membership(gh, gw, j, tgs, ns, c8))
+
+        def blockdiag(w):
+            out = jnp.zeros((hd, hd), jnp.float32)
+            for h in range(nh):
+                out = out.at[h * d:(h + 1) * d, h * d:(h + 1) * d].set(w)
+            return out
+
+        wq_big = jnp.zeros((3 * hd, hd)).at[:hd].set(blockdiag(wq))
+        wk_big = jnp.zeros((3 * hd, hd)).at[hd:2 * hd].set(blockdiag(wk))
+        tile = lambda v: jnp.tile(v, nh)  # noqa: E731
+        lnt = (tuple(tile(t) for t in ln) if use_ln
+               else (jnp.ones(hd), jnp.zeros(hd)) * 2)
+
+        def f_twin(q):
+            out = eva_single_twin(
+                q, P, wq_big, tile(bq), wk_big, tile(bk), *lnt, add_big,
+                scale=scale, nh=nh, j=j, use_ln=use_ln)
+            return jnp.sum(out * out)
+
+        v_twin, g_twin = jax.value_and_grad(f_twin)(qkv)
+        np.testing.assert_allclose(float(val), float(v_twin),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_twin),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_gate_rejects_bad_geometry(self):
         from efficient_attention_tpu.ops.pallas.eva_single import (
             supports_single,
