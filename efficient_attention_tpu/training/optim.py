@@ -288,6 +288,63 @@ def _fairseq_nag(schedule: optax.Schedule, momentum: float = 0.99,
     return optax.GradientTransformation(init, update)
 
 
+def _fairseq_adam(schedule: optax.Schedule, betas=(0.9, 0.999),
+                  eps: float = 1e-8, weight_decay: float = 0.0,
+                  mask: Any = None) -> optax.GradientTransformation:
+    """Faithful fairseq Adam (``fairseq/optim/adam.py:159-241``).
+
+    Differs from ``optax.adamw`` in the epsilon placement: the reference
+    adds eps to ``sqrt(v)`` of the UNcorrected second moment and then
+    scales the whole step by ``sqrt(1-b2^t)/(1-b1^t)`` — i.e. the
+    effective floor is ``eps/sqrt(1-b2^t)`` (7x eps at step 1 for
+    b2=0.98), where optax floors the corrected ``sqrt(v_hat)`` at eps.
+    Negligible for healthy gradients but a systematic per-step relative
+    drift on near-zero-gradient coordinates, which the MT trajectory
+    parity (Adam beta2 0.98, 60 steps) resolves.  Weight decay is
+    decoupled (``p.add_(p, alpha=-wd*lr)``), as in the reference.
+    """
+    b1, b2 = betas
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, jnp.float32)  # noqa: E731
+        return {"m": jax.tree_util.tree_map(z, params),
+                "v": jax.tree_util.tree_map(z, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("fairseq Adam with weight decay needs params")
+        count = state["count"] + 1
+        lr = jnp.asarray(schedule(state["count"]), jnp.float32)
+        t = count.astype(jnp.float32)
+        step_size = lr * jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+
+        def leaf(g, m, v, p, decay):
+            g = g.astype(jnp.float32)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * (g * g)
+            delta = -step_size * m / (jnp.sqrt(v) + eps)
+            if weight_decay and decay:
+                delta = delta - (weight_decay * lr) * p.astype(jnp.float32)
+            return delta.astype(g.dtype), m, v
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_m = treedef.flatten_up_to(state["m"])
+        flat_v = treedef.flatten_up_to(state["v"])
+        flat_p = (treedef.flatten_up_to(params) if params is not None
+                  else [None] * len(flat_u))
+        flat_d = (treedef.flatten_up_to(mask) if mask is not None
+                  else [True] * len(flat_u))
+        out = [leaf(g, m, v, p, dec) for g, m, v, p, dec
+               in zip(flat_u, flat_m, flat_v, flat_p, flat_d)]
+        new_state = {"m": treedef.unflatten([o[1] for o in out]),
+                     "v": treedef.unflatten([o[2] for o in out]),
+                     "count": count}
+        return treedef.unflatten([o[0] for o in out]), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     schedule: optax.Schedule,
@@ -312,10 +369,10 @@ def make_optimizer(
     elif name == "adam":
         # fairseq's Adam applies DECOUPLED (AdamW-style) weight decay
         # (``fairseq/optim/adam.py:229-231``: p.add_(p, alpha=-wd*lr) outside
-        # the moment update), so coupled L2 via add_decayed_weights would
-        # diverge from reference semantics.
-        chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                                 weight_decay=weight_decay, mask=mask))
+        # the moment update) and floors the UNcorrected sqrt(v) at eps —
+        # the faithful form, pinned by the MT trajectory parity.
+        chain.append(_fairseq_adam(schedule, betas=betas, eps=eps,
+                                   weight_decay=weight_decay, mask=mask))
     elif name == "nag":
         # fairseq NAG (LM recipe: ``--optimizer nag --lr 1.0``) — NOT
         # optax's nesterov SGD: fairseq's momentum buffer is kept in

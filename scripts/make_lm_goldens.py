@@ -252,15 +252,14 @@ def lm_golden(attn_name, attn_args, fname, seed):
           "probs sum", float(logprobs.exp().sum(-1).mean()))
 
 
-def mt_golden(fname, seed):
+def build_ref_mt(fmod, tl):
     """Shared-embedding MT model: EVA encoder (overlap window + t5-rpe +
     no-ln adaptive proj, the main.sh WMT flags) + causal-EVA decoder +
     softmax cross-attention, mirroring ``transformer_encoder.py`` /
-    ``transformer_decoder.py`` containers."""
+    ``transformer_decoder.py`` containers.  (Also consumed by
+    ``make_trajectory_goldens.mt_trajectory``.)"""
     import torch
     import torch.nn as tnn
-
-    fmod, tl = _FM
     enc_args = {"window_size": 4, "num_landmarks": 4, "overlap_window": True,
                 "use_t5_rpe": True, "adaptive_proj": "no-ln", "attn_2d": False,
                 "use_rpe": False}
@@ -326,7 +325,14 @@ def mt_golden(fname, seed):
             enc, pad = self.encoder(src)
             return self.decoder(prev, enc, pad)
 
-    model = RefMT()
+    return RefMT()
+
+
+def mt_golden(fname, seed):
+    import torch
+
+    fmod, tl = _FM
+    model = build_ref_mt(fmod, tl)
     _fill_params(model, seed=seed)
     model.eval()
     rng = np.random.default_rng(seed)

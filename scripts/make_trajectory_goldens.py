@@ -187,6 +187,125 @@ def lm_trajectory():
           losses[0], "->", losses[-1])
 
 
+# ---------------------------------------------------------------- MT side
+
+MT_SCHED = dict(warmup_updates=10, warmup_init_lr=1e-5, lr=3e-3)
+MT_CLIP = 5.0          # reference main.sh wmt: --clip-norm 5.0
+MT_BETAS = (0.9, 0.98)
+MT_EPS = 1e-8
+MT_SMOOTHING = 0.1
+
+
+def _stub_fairseq_mt(root="/root/reference/fairseq/fairseq"):
+    """Extend the stub skeleton so the reference's OWN
+    ``fairseq.optim.adam.Adam``, ``InverseSquareRootSchedule`` and
+    ``label_smoothed_nll_loss`` import and run (WMT recipe:
+    reference ``main.sh:146-159``)."""
+    import importlib
+
+    fused = types.ModuleType("fairseq.optim.fused_adam")
+    fused.get_fused_adam_class = lambda: None
+    sys.modules["fairseq.optim.fused_adam"] = fused
+
+    fs = sys.modules["fairseq"]
+    fs.metrics = types.ModuleType("fairseq.metrics")
+    sys.modules["fairseq.metrics"] = fs.metrics
+
+    fcrit = types.ModuleType("fairseq.criterions")
+    fcrit.__path__ = [os.path.join(root, "criterions")]
+
+    class FairseqCriterion:
+        def __init__(self, task):
+            self.task = task
+
+    fcrit.FairseqCriterion = FairseqCriterion
+    fcrit.register_criterion = lambda *a, **k: (lambda cls: cls)
+    sys.modules["fairseq.criterions"] = fcrit
+
+    adam_mod = importlib.import_module("fairseq.optim.adam")
+    isr_mod = importlib.import_module(
+        "fairseq.optim.lr_scheduler.inverse_square_root_schedule")
+    lsce_mod = importlib.import_module(
+        "fairseq.criterions.label_smoothed_cross_entropy")
+    return (adam_mod.Adam, isr_mod.InverseSquareRootSchedule,
+            lsce_mod.label_smoothed_nll_loss)
+
+
+def mt_trajectory():
+    """WMT recipe dynamics: torch Adam beta (0.9, 0.98) + inverse_sqrt
+    warmup + label-smoothed CE (eps 0.1) + clip 5.0 on the shared-
+    embedding encoder-decoder — optimizer, scheduler and criterion all
+    EXECUTED from the reference tree (``main.sh:146-159``,
+    ``fairseq/optim/adam.py``, ``lr_scheduler/inverse_square_root_
+    schedule.py``, ``criterions/label_smoothed_cross_entropy.py``)."""
+    import torch
+
+    import make_lm_goldens as mlg
+
+    fmod, tl = mlg._stub_fairseq()
+    mlg._FM = (fmod, tl)
+    _stub_fairseq_optim()  # base optim skeleton (fairseq.optim pkg)
+    Adam, InverseSquareRootSchedule, label_smoothed_nll_loss = \
+        _stub_fairseq_mt()
+
+    model = mlg.build_ref_mt(fmod, tl)
+    mlg._fill_params(model, seed=29)
+    model.eval()  # deterministic forward; grads still flow
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in model.state_dict().items()}
+
+    opt = Adam(model.parameters(), lr=MT_SCHED["warmup_init_lr"],
+               betas=MT_BETAS, eps=MT_EPS, weight_decay=0.0)
+    cfg = Namespace(warmup_updates=MT_SCHED["warmup_updates"],
+                    warmup_init_lr=MT_SCHED["warmup_init_lr"],
+                    lr=[MT_SCHED["lr"]])
+    sched = InverseSquareRootSchedule(cfg, _OptAdapter(opt))
+
+    # a fixed pool of batches cycled over the run: the model can actually
+    # memorize, so gradients carry signal and the loss visibly drops —
+    # with fresh random targets every step, Adam's normalized update
+    # g/sqrt(v) is direction-noise near zero gradient and cross-framework
+    # f32 drift swamps the comparison
+    rng = np.random.default_rng(29)
+    POOL = 6
+    src_pool = rng.integers(2, mlg.VOCAB, (POOL, mlg.B, mlg.T))
+    tgt_pool = rng.integers(2, mlg.VOCAB, (POOL, mlg.B, mlg.T + 1))
+    src = src_pool[np.arange(STEPS) % POOL]
+    tgt_full = tgt_pool[np.arange(STEPS) % POOL]
+    losses, lrs = [], []
+    for i in range(STEPS):
+        lrs.append(opt.param_groups[0]["lr"])
+        st = torch.as_tensor(src[i], dtype=torch.long)
+        prev = torch.as_tensor(tgt_full[i, :, :-1], dtype=torch.long)
+        tgt = torch.as_tensor(tgt_full[i, :, 1:], dtype=torch.long)
+        logits = model(st, prev)
+        lprobs = torch.log_softmax(logits.float(), dim=-1)
+        # the executed reference criterion; sample_size = ntokens
+        # (sentence_avg=False), pad ignored
+        loss_sum, _nll = label_smoothed_nll_loss(
+            lprobs.view(-1, lprobs.size(-1)), tgt.contiguous().view(-1),
+            MT_SMOOTHING, ignore_index=mlg.PAD, reduce=True)
+        ntokens = int((tgt != mlg.PAD).sum())
+        loss = loss_sum / ntokens
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), MT_CLIP)
+        opt.step()
+        sched.step_update(i + 1)
+        losses.append(float(loss.detach()))
+    sdF = {k: v.detach().numpy().copy()
+           for k, v in model.state_dict().items()}
+    np.savez(
+        os.path.join(OUT, "trajectory_mt_adam.npz"),
+        src=src, tgt_full=tgt_full,
+        losses=np.asarray(losses, np.float64),
+        lrs=np.asarray(lrs, np.float64),
+        **{"sd0__" + k: v for k, v in sd0.items()},
+        **{"sdF__" + k: v for k, v in sdF.items()})
+    print("trajectory_mt_adam.npz:", STEPS, "steps, loss",
+          losses[0], "->", losses[-1])
+
+
 # --------------------------------------------------------------- ViT side
 
 VIT_LR = 5e-4
@@ -287,4 +406,5 @@ def vit_trajectory():
 
 if __name__ == "__main__":
     lm_trajectory()
+    mt_trajectory()
     vit_trajectory()

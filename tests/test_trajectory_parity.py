@@ -114,6 +114,95 @@ class TestLMTrajectory:
         assert worst < 1.0
 
 
+class TestMTTrajectory:
+    """WMT-structured MT: torch Adam beta (0.9, 0.98) + inverse_sqrt +
+    label-smoothed CE (eps 0.1) + clip 5.0, shared embeddings, 60 steps —
+    the reference recipe's optimizer stack executed from the reference
+    tree (``main.sh:146-159``)."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        return _load("trajectory_mt_adam.npz", "sd0__")
+
+    def _model(self):
+        from efficient_attention_tpu.models.transformer import (
+            TransformerModel,
+        )
+
+        return TransformerModel(
+            src_vocab_size=120, tgt_vocab_size=120, embed_dim=48,
+            ffn_dim=96, num_layers=2, num_heads=2,
+            attn_name_encoder="eva",
+            attn_args_encoder={"window_size": 4, "num_landmarks": 4,
+                               "overlap_window": True, "use_t5_rpe": True,
+                               "adaptive_proj": "no-ln", "attn_2d": False,
+                               "use_rpe": False},
+            attn_name_decoder="causal_eva",
+            attn_args_decoder={"window_size": 4, "chunk_size": 2,
+                               "adaptive_proj": "qk", "use_t5_rpe": True,
+                               "causal": True},
+            dropout=0.0, max_len=1024, share_all_embeddings=True)
+
+    def test_stepwise_losses_and_final_params(self, golden):
+        from efficient_attention_tpu.interop import convert_lang_state_dict
+        from efficient_attention_tpu.training.criterions import (
+            label_smoothed_nll_loss,
+        )
+        from efficient_attention_tpu.training.optim import (
+            inverse_sqrt_schedule,
+            make_optimizer,
+        )
+
+        data, sd0 = golden
+        src, tgt_full = data["src"], data["tgt_full"]
+        m = self._model()
+        template = m.init(jax.random.PRNGKey(0), jnp.asarray(src[0, :1]),
+                          jnp.asarray(tgt_full[0, :1, :-1]))
+        params = convert_lang_state_dict(sd0, template, shared_embed=True)
+
+        # the goldens script's scaled-down recipe constants (MT_SCHED)
+        schedule = inverse_sqrt_schedule(3e-3, warmup_steps=10,
+                                         warmup_init_lr=1e-5)
+        # schedule parity against the EXECUTED InverseSquareRootSchedule
+        mine = np.asarray([float(schedule(i)) for i in range(60)])
+        np.testing.assert_allclose(mine, data["lrs"], rtol=1e-5, atol=1e-9)
+
+        tx = make_optimizer("adam", schedule, weight_decay=0.0,
+                            clip_grad=5.0, betas=(0.9, 0.98), eps=1e-8)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, s, prev, tgt):
+            logits = m.apply(p, s, prev)
+            loss_sum, _, ntok = label_smoothed_nll_loss(
+                logits, tgt, epsilon=0.1, pad_idx=1)
+            return loss_sum / ntok
+
+        @jax.jit
+        def step(p, st, s, prev, tgt):
+            loss, grads = jax.value_and_grad(loss_fn)(p, s, prev, tgt)
+            upd, st = tx.update(grads, st, params=p)
+            return optax.apply_updates(p, upd), st, loss
+
+        losses = []
+        for i in range(src.shape[0]):
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(src[i]),
+                jnp.asarray(tgt_full[i, :, :-1]),
+                jnp.asarray(tgt_full[i, :, 1:]))
+            losses.append(float(loss))
+
+        ref = data["losses"]
+        np.testing.assert_allclose(losses[:10], ref[:10],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(losses, ref, rtol=2e-2, atol=2e-2)
+
+        _, sdF = _load("trajectory_mt_adam.npz", "sdF__")
+        final_ref = convert_lang_state_dict(sdF, template,
+                                            shared_embed=True)
+        worst = _tree_close(params, final_ref, atol=2e-3, rtol=2e-2)
+        assert worst < 1.0
+
+
 class TestViTTrajectory:
     """DeiT-structured ViT: AdamW + timm wd-grouping + label-smoothed CE
     + per-epoch cosine + clip 5.0, 60 steps."""
