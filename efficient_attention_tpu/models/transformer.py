@@ -570,9 +570,11 @@ class TransformerEncoder(nn.Module):
             # tokens; pads map to the reserved pad_idx row
             keep = (~padding_mask).astype(jnp.int32)
             positions = jnp.cumsum(keep, axis=1) * keep + self.pad_idx
-            x = x + self._pos[positions]
+            x = x + self._pos[positions].astype(x.dtype)
         else:
-            x = x + self._pos[:T][None]
+            # cast the f32 sinusoidal table to the activation dtype — the
+            # add must not silently promote a bf16 stream to f32
+            x = x + self._pos[:T][None].astype(x.dtype)
         x = self.embed_dropout(x, deterministic=deterministic)
         for layer in self.layers:
             x = _run_layer(
@@ -721,9 +723,10 @@ class TransformerDecoder(nn.Module):
             keep = (tokens != self.pad_idx).astype(jnp.int32)
             positions = ((jnp.cumsum(keep, axis=1) + pos_offset) * keep
                          + self.pad_idx)
-            return x + self._pos[positions]
+            return x + self._pos[positions].astype(x.dtype)
         pos = jax.lax.dynamic_slice_in_dim(self._pos, pos_offset, T, axis=0)
-        return x + pos[None]
+        # keep the activation dtype (the f32 table would promote bf16)
+        return x + pos[None].astype(x.dtype)
 
     def __call__(self, prev_output_tokens, enc_out=None, enc_padding_mask=None,
                  deterministic=True, features_only=False):
