@@ -40,6 +40,10 @@ class LinearRA(MultiheadAttention):
     pool_module_type: str = "light"
     mis_type: str = "mis-opt"
     alpha_coeff: float = 1.0
+    # 'auto' engages the fused SNIS kernel (ops/pallas/lara_fused.py) on
+    # TPU eval mis-opt forwards; 'fused' raises if it cannot engage;
+    # 'xla' keeps the reference-shaped composition everywhere
+    impl: str = "auto"
 
     def setup(self):
         self._setup_projections()
@@ -70,9 +74,11 @@ class LinearRA(MultiheadAttention):
 
     # ---- proposal generators -------------------------------------------------
 
-    def _proposal_gen_1d(self, x: Array, key_padding_mask: Optional[Array]):
-        """Segment-mean landmarks over a 1-D sequence (``lara.py:84-127``)."""
-        q, k, v = self.proj_and_split_heads(x)
+    def _proposal_gen_1d(self, q, k, v, key_padding_mask: Optional[Array]):
+        """Segment-mean landmarks over a 1-D sequence (``lara.py:84-127``).
+        Returns the (possibly pad-zeroed) q/k/v the SNIS stage must keep
+        using — the reference zeroes padded tokens BEFORE the segment
+        means and downstream projections alike."""
         if key_padding_mask is not None:
             keep = 1.0 - key_padding_mask.astype(v.dtype)[:, None, :, None]
             q, k, v = q * keep, k * keep, v * keep
@@ -84,11 +90,11 @@ class LinearRA(MultiheadAttention):
         k_bar = segment_mean_landmarks(k2, self.num_landmarks)
         return q_bar, k_bar, q, k, v
 
-    def _proposal_gen_2d(self, x: Array, key_padding_mask: Optional[Array]):
+    def _proposal_gen_2d(self, x: Array, q, k, v,
+                         key_padding_mask: Optional[Array]):
         """Pooled 2-D landmarks, dense or per-head light pools
         (``lara.py:129-175``)."""
         b, H, W, c = x.shape
-        q, k, v = self.proj_and_split_heads(x)  # [b, h, H*W, d]
         out_size = int(math.sqrt(self.num_landmarks))
 
         def pool_tokens(t: Array) -> Array:
@@ -132,7 +138,7 @@ class LinearRA(MultiheadAttention):
             k_bar = jnp.einsum(
                 "...pc,...cd->...pd", jax.nn.softmax(k_logits, axis=-1), k_bar
             )
-        return q_bar, k_bar, q, k, v
+        return q_bar, k_bar
 
     # ---- forward --------------------------------------------------------------
 
@@ -146,11 +152,25 @@ class LinearRA(MultiheadAttention):
         B = x.shape[0]
         C = x.shape[-1]
         seq_shape = x.shape[1:-1]
+        N = math.prod(seq_shape)
+        # one fused qkv projection; the packed [B, N, 3HD] form feeds the
+        # fused kernel directly, the split view feeds the proposal gens
+        qkv_p = self.qkv(x.reshape(B, N, C))
+        qkv5 = qkv_p.reshape(B, N, 3, self.num_heads, self.head_dim)
+        q = jnp.swapaxes(qkv5[:, :, 0], 1, 2)
+        k = jnp.swapaxes(qkv5[:, :, 1], 1, 2)
+        v = jnp.swapaxes(qkv5[:, :, 2], 1, 2)
         if len(seq_shape) == 2:
-            q_bar, k_bar, q, k, v = self._proposal_gen_2d(x, key_padding_mask)
+            q_bar, k_bar = self._proposal_gen_2d(x, q, k, v,
+                                                 key_padding_mask)
         else:
-            q_bar, k_bar, q, k, v = self._proposal_gen_1d(x, key_padding_mask)
+            q_bar, k_bar, q, k, v = self._proposal_gen_1d(
+                q, k, v, key_padding_mask)
         mu = q_bar + k_bar
+
+        if self._fused_ok(B, N, qkv_p, key_padding_mask, deterministic):
+            return self._forward_fused(qkv_p, mu, q_bar, B, seq_shape, C,
+                                       deterministic)
 
         # ---- sampling from the proposal (``lara.py:188-198``) ----
         if not deterministic:
@@ -214,6 +234,51 @@ class LinearRA(MultiheadAttention):
 
         x = jnp.swapaxes(output, 1, 2).reshape((B,) + tuple(seq_shape) + (C,))
         x = self.proj(x)
+        return self.proj_dropout(x, deterministic=deterministic)
+
+    # ---- fused SNIS kernel path (ops/pallas/lara_fused.py) -----------------
+
+    def _fused_ok(self, B, N, qkv_p, key_padding_mask, deterministic):
+        from efficient_attention_tpu.attention.base import on_tpu
+        from efficient_attention_tpu.ops.pallas.lara_fused import (
+            supports_lara_fused,
+        )
+
+        if self.impl == "xla":
+            return False
+        if self.impl == "auto" and not on_tpu():
+            return False
+        ok = (deterministic and self.mis_type == "mis-opt"
+              and key_padding_mask is None
+              and self.head_dim % 64 == 0
+              and supports_lara_fused(B, N, qkv_p.shape[-1],
+                                      self.num_landmarks,
+                                      qkv_p.dtype.itemsize))
+        if self.impl == "fused" and not ok:
+            raise NotImplementedError(
+                "impl='fused' requires TPU, deterministic mis-opt, no "
+                "padding mask, head_dim % 64 == 0 and a supported geometry")
+        return ok
+
+    def _forward_fused(self, qkv_p, mu, q_bar, B, seq_shape, C,
+                       deterministic):
+        """Landmark-side terms in XLA (tiny [c, c] Gram), then the fused
+        phase-1/phase-2 kernel over the packed qkv."""
+        from efficient_attention_tpu.attention.base import on_tpu
+        from efficient_attention_tpu.ops.pallas.lara_fused import (
+            lara_attention_fused,
+        )
+
+        # eval: weights = mu (``lara.py:188-198`` sampling is train-only)
+        log_proj_mu = prm_projection(mu, mu, normalize=False)  # [b,h,c,c]
+        log_proposal = jnp.diagonal(log_proj_mu, axis1=-2, axis2=-1)
+        balance = jnp.exp(
+            log_proposal - jax.nn.logsumexp(log_proj_mu, axis=-1))
+        out = lara_attention_fused(
+            qkv_p, mu, q_bar, balance, log_proposal, self.scale,
+            self.num_heads, alpha_coeff=self.alpha_coeff,
+            interpret=not on_tpu())
+        x = self.proj(out.reshape((B,) + tuple(seq_shape) + (C,)))
         return self.proj_dropout(x, deterministic=deterministic)
 
     @staticmethod

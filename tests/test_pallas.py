@@ -1042,3 +1042,85 @@ class TestEva1DKernel:
 
     def test_padding_learned_rpe(self, rng):
         self._run(rng, use_pad=True, use_t5=False)
+
+
+class TestLaraFusedKernel:
+    """Fused LARA SNIS kernel (ops/pallas/lara_fused.py) vs the module's
+    reference-shaped XLA composition, interpret mode (CPU)."""
+
+    def _module(self, impl, proposal_gen="pool-mixed", landmarks=16):
+        from efficient_attention_tpu.attention.lara import LinearRA
+
+        return LinearRA(dim=128, num_heads=2, num_landmarks=landmarks,
+                        proposal_gen=proposal_gen, mis_type="mis-opt",
+                        impl=impl)
+
+    @pytest.mark.parametrize("proposal_gen", ["pool-mixed", "pool",
+                                              "no-param-pool"])
+    def test_matches_xla_2d(self, rng, proposal_gen):
+        x = jax.random.normal(rng, (2, 8, 8, 128))
+        m_xla = self._module("xla", proposal_gen)
+        m_fus = self._module("fused", proposal_gen)
+        params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+        ref = m_xla.apply(params, x, deterministic=True)
+        out = m_fus.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_matches_xla_1d(self, rng):
+        x = jax.random.normal(rng, (2, 64, 128))
+        m_xla = self._module("xla", "adaptive-1d")
+        m_fus = self._module("fused", "adaptive-1d")
+        params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+        ref = m_xla.apply(params, x, deterministic=True)
+        out = m_fus.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_twin_matches_kernel_and_grads_flow(self, rng):
+        """The XLA twin (custom-vjp fallback) computes the same function;
+        grads through the fused path are finite and equal the twin's."""
+        from efficient_attention_tpu.ops.pallas.lara_fused import (
+            lara_attention_fused,
+            lara_fused_twin,
+            _round8,
+        )
+
+        B, H, d, N, c = 2, 2, 64, 64, 16
+        hd = H * d
+        ks = jax.random.split(rng, 5)
+        qkv = jax.random.normal(ks[0], (B, N, 3 * hd))
+        w = jax.random.normal(ks[1], (B, H, c, d)) * 0.5
+        qb = jax.random.normal(ks[2], (B, H, c, d)) * 0.5
+        bal = jax.nn.softmax(jax.random.normal(ks[3], (B, H, c)), -1)
+        lp = jax.random.normal(ks[4], (B, H, c))
+        scale = d ** -0.5
+
+        def f_kernel(q):
+            out = lara_attention_fused(q, w, qb, bal, lp, scale, H,
+                                       interpret=True)
+            return jnp.sum(out * out)
+
+        c8 = _round8(c)
+
+        def pack(t):
+            t2 = jnp.swapaxes(t, 1, 2).reshape(B, c, hd)
+            return jnp.pad(t2, ((0, 0), (0, c8 - c), (0, 0)))
+
+        def pack_sc(t):
+            t2 = jnp.swapaxes(t, 1, 2)
+            return jnp.pad(t2, ((0, 0), (0, c8 - c), (0, 0)))
+
+        def f_twin(q):
+            out = lara_fused_twin(q, pack(w), pack(qb), pack_sc(bal),
+                                  pack_sc(lp), scale=scale, nh=H, c=c,
+                                  alpha_coeff=1.0)
+            return jnp.sum(out * out)
+
+        vk, gk = jax.value_and_grad(f_kernel)(qkv)
+        vt, gt = jax.value_and_grad(f_twin)(qkv)
+        np.testing.assert_allclose(float(vk), float(vt),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.isfinite(np.asarray(gk)).all()
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gt),
+                                   rtol=1e-4, atol=1e-5)
