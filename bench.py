@@ -234,7 +234,8 @@ def main():
             attn_args_decoder=_ap.Namespace(
                 window_size=128, chunk_size=8, adaptive_proj="qk",
                 use_t5_rpe=True, causal=True, overlap_window=False))
-        return build_model(args, vocab_size=32000)
+        # dense_tokens as in the real train path (trailing-pad-only blocks)
+        return build_model(args, vocab_size=32000, dense_tokens=True)
 
     def lm_train_ms(attn, T=2048, Bb=4):
         model = _lm_model(attn, T)
@@ -280,7 +281,7 @@ def main():
             attn_args_decoder=_ap.Namespace(
                 window_size=128, chunk_size=8, adaptive_proj="qk",
                 use_t5_rpe=True, causal=True, overlap_window=False))
-        model = _bm(args, vocab_size=267744)
+        model = _bm(args, vocab_size=267744, dense_tokens=True)
         toks = jnp.ones((16, 512), jnp.int32)
         tgts = jnp.ones((16, 512), jnp.int32)
         params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), toks))()
@@ -303,9 +304,12 @@ def main():
         "softmax_ms_per_step": round(t512_sm, 2),
         "speedup": round(t512_sm / t512_eva, 3),
         "note": ("16L/1024/267k-vocab recipe shape, adaptive loss; "
-                 "attention is ~4% of step FLOPs at T=512, so no attention "
-                 "variant can win >1.05x here (Amdahl); EVA wins appear at "
-                 "T>=2048 and in decode")}
+                 "attention is ~4% of step FLOPs at T=512 (Amdahl-bounded "
+                 "near 1.05x); the win requires the packed causal kernel "
+                 "to engage inside the full step, which the dense_tokens "
+                 "promise enables (kernel worth ~19 ms/step here — "
+                 "scripts/bench_t512_attrib.py); larger EVA wins appear "
+                 "at T>=2048 and in decode")}
 
     # generation-time decode-step latency at a deep cache position: the
     # reference's decode win is causal-EVA's bounded state (one window + per

@@ -216,7 +216,7 @@ def load_corpus(args, split: str = "train"):
     return ds.flat_tokens(), d, len(d)
 
 
-def build_model(args, vocab_size, seq_axis=None):
+def build_model(args, vocab_size, seq_axis=None, dense_tokens=False):
     import argparse as _ap
 
     from efficient_attention_tpu.config import namespace_to_dict
@@ -269,6 +269,7 @@ def build_model(args, vocab_size, seq_axis=None):
             args, "quant_noise_pq_block_size", 8),
         activation_fn=getattr(args, "activation_fn", "relu"),
         learned_pos=getattr(args, "decoder_learned_pos", False),
+        dense_tokens=dense_tokens,
     )
 
 
@@ -312,7 +313,7 @@ def _pipelined_main(args, tokens, vocab_size, blocks, schedule) -> dict:
     )
     from efficient_attention_tpu.config import namespace_to_dict
 
-    model = build_model(args, vocab_size)
+    model = build_model(args, vocab_size, dense_tokens=True)
     if model.adaptive_cutoffs or model.adaptive_input:
         raise NotImplementedError(
             "--pipeline-stages does not pipeline the adaptive input/softmax "
@@ -480,7 +481,12 @@ def main(args) -> dict:
     from efficient_attention_tpu.training.lm_steps import make_lm_train_step
 
     tokens, dictionary, vocab_size = load_corpus(args)
-    model = build_model(args, vocab_size)
+    # dense_tokens: TokenBlock 'none' blocks only ever carry TRAILING pads
+    # (tail block); causal attention already hides trailing keys from every
+    # real query and pad targets are loss-masked, so the attention-level
+    # mask is vacuous — and materializing it would disqualify the packed
+    # causal-EVA kernel for the whole training run.
+    model = build_model(args, vocab_size, dense_tokens=True)
     blocks = TokenBlockDataset(tokens, args.tokens_per_sample + 1, pad_idx=1)
     n_dev = len(jax.devices())
     sp = max(1, args.seq_parallel)
@@ -524,7 +530,8 @@ def main(args) -> dict:
             make_seq_parallel_lm_train_step,
         )
 
-        sp_model = build_model(args, vocab_size, seq_axis="seq")
+        sp_model = build_model(args, vocab_size, seq_axis="seq",
+                               dense_tokens=True)
         jit_step = make_seq_parallel_lm_train_step(
             mesh, sp_model, pad_idx=1, accum_steps=args.update_freq,
             compute_dtype=jnp.bfloat16 if args.bf16 else None)

@@ -603,6 +603,15 @@ class TransformerDecoder(nn.Module):
     pad_idx: int = 1
     has_cross: bool = True
     share_input_output_embed: bool = True
+    # static promise that token blocks contain no pads (wiki103 recipe:
+    # TokenBlockDataset 'none' break mode packs a dense stream).  fairseq's
+    # decoder drops the self-attn padding mask whenever no pad is present
+    # (``transformer_decoder.py``: ``if prev_output_tokens.eq(pad).any()``)
+    # — a data-dependent branch jit cannot express, so the dense-pipeline
+    # caller asserts it statically.  A vacuous all-False mask is NOT free
+    # here: its mere presence (had_mask) disqualifies the packed causal-EVA
+    # kernel inside the train step.
+    dense_tokens: bool = False
     # adaptive input embeddings (wiki103 recipe, ``transformer_lm.py:406``;
     # fairseq ``modules/adaptive_input.py``)
     adaptive_input_cutoffs: Optional[Tuple[int, ...]] = None
@@ -738,6 +747,11 @@ class TransformerDecoder(nn.Module):
             offset = (jax.lax.axis_index(self.seq_axis)
                       * prev_output_tokens.shape[1])
             x = self._embed(prev_output_tokens, pos_offset=offset)
+        elif self.dense_tokens:
+            # the pipeline guarantees no pads (see the attribute comment);
+            # a traced all-False mask would disqualify the packed kernel
+            padding_mask = None
+            x = self._embed(prev_output_tokens)
         else:
             padding_mask = prev_output_tokens == self.pad_idx
             x = self._embed(prev_output_tokens)
@@ -940,6 +954,8 @@ class TransformerLM(nn.Module):
     quant_noise_pq_block_size: int = 8
     activation_fn: str = "relu"
     learned_pos: bool = False
+    # dense TokenBlock pipeline (no pads): see TransformerDecoder.dense_tokens
+    dense_tokens: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -961,7 +977,8 @@ class TransformerLM(nn.Module):
             quant_noise_pq=self.quant_noise_pq,
             quant_noise_pq_block_size=self.quant_noise_pq_block_size,
             activation_fn=self.activation_fn,
-            learned_pos=self.learned_pos)
+            learned_pos=self.learned_pos,
+            dense_tokens=self.dense_tokens)
         if self.adaptive_cutoffs:
             from efficient_attention_tpu.models.adaptive_softmax import (
                 AdaptiveSoftmax,
