@@ -108,7 +108,10 @@ def attention_module_ms(attn_name: str, grid: int, dim=192, heads=3,
     elif attn_name == "lara":
         # the tracked LARA config: mis-opt, pool-mixed, 49 landmarks
         args.update(num_landmarks=49, proposal_gen="pool-mixed",
-                    mis_type="mis-opt", attn_2d=True)
+                    mis_type="mis-opt", attn_2d=True, impl=impl)
+    elif attn_name == "performer":
+        # the tracked Performer config: favorp, 64 random features
+        args.update(approx_attn_dim=64, proj_method="favorp", impl=impl)
     m = AttentionFactory.build_attention(attn_name, args)
     x = jnp.ones((BATCH, grid, grid, dim), jnp.bfloat16)
     params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x,
@@ -199,11 +202,36 @@ def main():
             "softmax_ms_per_layer": round(sm_ms, 3),
             "speedup": round(sm_ms / eva_ms, 3),
         }
-    # tracked LARA config at seq 784 (BASELINE.md)
-    lara_ms = attention_module_ms("lara", 28)
+    # tracked LARA config at seq 784 (BASELINE.md): fused SNIS kernel vs
+    # the reference-shaped XLA composition (VERDICT r4 item 4 pair)
+    lara_ms = attention_module_ms("lara", 28, impl="fused")
+    lara_xla_ms = attention_module_ms("lara", 28, impl="xla")
     kernel[784]["lara_ms_per_layer"] = round(lara_ms, 3)
+    kernel[784]["lara_xla_ms_per_layer"] = round(lara_xla_ms, 3)
+    kernel[784]["lara_kernel_vs_xla"] = round(lara_xla_ms / lara_ms, 3)
     kernel[784]["lara_speedup"] = round(
         kernel[784]["softmax_ms_per_layer"] / lara_ms, 3)
+    # tracked Performer config at seq 784: fused FAVOR+ kernel vs XLA
+    perf_ms = attention_module_ms("performer", 28, impl="fused")
+    perf_xla_ms = attention_module_ms("performer", 28, impl="xla")
+    kernel[784]["performer_ms_per_layer"] = round(perf_ms, 3)
+    kernel[784]["performer_xla_ms_per_layer"] = round(perf_xla_ms, 3)
+    kernel[784]["performer_kernel_vs_xla"] = round(perf_xla_ms / perf_ms, 3)
+    kernel[784]["performer_speedup"] = round(
+        kernel[784]["softmax_ms_per_layer"] / perf_ms, 3)
+    kernel[784]["performer_note"] = (
+        "XLA wins below the measured ~seq-1536 crossover, so 'auto' keeps "
+        "the XLA composition here; the kernel engages at long sequences "
+        "(seq-3136 pair below)")
+    # past the measured crossover the kernel engages (auto default)
+    perf_ms_l = attention_module_ms("performer", 56, impl="fused")
+    perf_xla_ms_l = attention_module_ms("performer", 56, impl="xla")
+    kernel[3136]["performer_ms_per_layer"] = round(perf_ms_l, 3)
+    kernel[3136]["performer_xla_ms_per_layer"] = round(perf_xla_ms_l, 3)
+    kernel[3136]["performer_kernel_vs_xla"] = round(
+        perf_xla_ms_l / perf_ms_l, 3)
+    kernel[3136]["performer_speedup"] = round(
+        kernel[3136]["softmax_ms_per_layer"] / perf_ms_l, 3)
 
     # training step (fused Pallas backward vs softmax baseline)
     eva_train = train_step_ms("eva")
@@ -482,6 +510,76 @@ def main():
     pvt["speedup"] = round(
         pvt["eva_images_per_sec"] / pvt["softmax_images_per_sec"], 3)
 
+    def input_pipeline_rates():
+        # Host loader vs the device rate (VERDICT r4 item 4 / r5 item 7):
+        # a compact on-driver version of scripts/bench_input_pipeline.py.
+        # 256 synthetic JPEGs through the DeiT train transform; measures
+        # (a) the JPEG decode path with the spawn-context process pool and
+        # (b) the CachedUint8Dataset path, which skips entropy decode and
+        # is the recipe escape hatch on decode-starved hosts.
+        import tempfile
+
+        import numpy as _np
+
+        from efficient_attention_tpu.data.imagenet import (
+            CachedUint8Dataset,
+            ImageFolderDataset,
+            PrefetchLoader,
+        )
+        from PIL import Image
+
+        n_files, batch, n_batches = 256, 128, 8
+        workers = os.cpu_count() or 1
+        rng = _np.random.default_rng(0)
+        sizes = [(500, 375), (375, 500), (640, 480), (256, 256)]
+        out = {"host_cpus": workers}
+        with tempfile.TemporaryDirectory(prefix="benchjpeg_") as root:
+            for i in range(n_files):
+                cdir = os.path.join(root, f"class_{i % 8:03d}")
+                os.makedirs(cdir, exist_ok=True)
+                w, h = sizes[i % len(sizes)]
+                Image.fromarray(
+                    rng.integers(0, 255, (h, w, 3), _np.uint8)).save(
+                    os.path.join(cdir, f"img_{i:05d}.jpg"), quality=85)
+
+            def run(ds, backend):
+                idx = _np.tile(_np.arange(len(ds)),
+                               batch * (n_batches + 2) // len(ds) + 1)
+                loader = PrefetchLoader(
+                    ds, batch, idx[: batch * (n_batches + 2)],
+                    num_threads=workers, backend=backend)
+                it = iter(loader)
+                next(it); next(it)  # noqa: E702  pool spin-up
+                n, t0 = 0, time.perf_counter()
+                for imgs, _ in it:
+                    n += imgs.shape[0]
+                return n / (time.perf_counter() - t0)
+
+            jpeg_ds = ImageFolderDataset(root, img_size=224, train=True)
+            jpeg_rate = run(jpeg_ds, "process")
+            cache = os.path.join(root, "u8cache")
+            t0 = time.perf_counter()
+            CachedUint8Dataset.build(root, cache)
+            out["uint8_cache_build_s"] = round(time.perf_counter() - t0, 1)
+            u8_rate = run(
+                CachedUint8Dataset(cache, img_size=224, train=True),
+                "thread")
+        out.update({
+            "jpeg_process_pool_img_per_sec": round(jpeg_rate, 0),
+            "jpeg_img_per_sec_per_worker": round(jpeg_rate / workers, 0),
+            "uint8_cache_img_per_sec": round(u8_rate, 0),
+            "device_rate_img_per_sec": round(eva_ips, 0),
+            "note": (
+                "JPEG decode scales ~linearly with host cores (spawn-pool "
+                "sidesteps the GIL); matching the device rate needs "
+                "ceil(device/per-worker) cores. The uint8-cache path skips "
+                "entropy decode entirely and is the measured on-host "
+                "fallback when cores are scarce."),
+        })
+        return out
+
+    input_pipeline = input_pipeline_rates()
+
     floor_ms = identity_floor_ms()
     eva_ms_batch = 1e3 * BATCH / eva_ips
     sm_ms_batch = 1e3 * BATCH / softmax_ips
@@ -547,6 +645,7 @@ def main():
             "wmt_encoder_module": wmt_enc,
             "mt_generate": mt_generate,
             "pvt_nano": pvt,
+            "input_pipeline": input_pipeline,
             "roofline": roofline,
             "device": str(jax.devices()[0]),
         },
@@ -563,6 +662,10 @@ def main():
         "attn_module_seq784_speedup": kernel[784]["speedup"],
         "attn_module_seq3136_speedup": kernel[3136]["speedup"],
         "lara_seq784_speedup": kernel[784]["lara_speedup"],
+        "lara_kernel_vs_xla": kernel[784]["lara_kernel_vs_xla"],
+        "performer_seq784_speedup": kernel[784]["performer_speedup"],
+        "performer_kernel_vs_xla_seq784": kernel[784]["performer_kernel_vs_xla"],
+        "performer_kernel_vs_xla_seq3136": kernel[3136]["performer_kernel_vs_xla"],
         "vit_train_step_speedup": train["speedup"],
         "lm_train_t2048_speedup": lm_train["speedup"],
         "lm_train_t512_recipe_speedup": lm_train_t512["speedup"],
@@ -571,6 +674,7 @@ def main():
         "mt_generate_speedup": mt_generate["speedup"],
         "mt_generate_eva_tokens_per_sec": mt_generate["eva_tokens_per_sec"],
         "pvt_nano_speedup": pvt["speedup"],
+        "uint8_cache_img_per_sec": input_pipeline["uint8_cache_img_per_sec"],
         "detail_file": "BENCH_detail.json",
         "device": str(jax.devices()[0]),
     }

@@ -63,6 +63,17 @@ class KernelizedAttention(MultiheadAttention):
     proj_method: str = "favorp"
     cos_weighting: bool = False
     sample_scheme: str = "default"
+    # 'auto' engages the fused FAVOR+ kernel (ops/pallas/performer_fused.py)
+    # on TPU eval favorp forwards at long sequences; 'fused' raises if it
+    # cannot engage; 'xla' keeps the reference-shaped composition everywhere
+    impl: str = "auto"
+    # Measured crossover on a v5e chip (scripts/bench_performer_kernel.py,
+    # B=128, dim 192, h=3, m=64, bf16): the kernel loses to XLA's fused
+    # composition below ~seq 1536 (784: 1.79 vs 1.52 ms; 1024: 2.31 vs
+    # 2.04) and wins above it (1600: 3.25 vs 3.48; 3136: 7.13 vs 8.81,
+    # 1.24x) where the materialized fp32 prime maps exceed ~150 MB each
+    # and HBM traffic dominates.  'auto' only engages past the crossover.
+    AUTO_MIN_SEQ = 1536
 
     @property
     def use_random_proj(self) -> bool:
@@ -141,6 +152,59 @@ class KernelizedAttention(MultiheadAttention):
         if self.cos_weighting:
             return cos_reweighted_linear_attention(q_prime, k_prime, v)
         return linear_attention(q_prime, k_prime, v)
+
+    # ---- fused FAVOR+ kernel path (ops/pallas/performer_fused.py) ----------
+
+    def _fused_ok(self, B, N, three_hd, key_padding_mask, deterministic,
+                  itemsize) -> bool:
+        from efficient_attention_tpu.attention.base import on_tpu
+        from efficient_attention_tpu.ops.pallas.performer_fused import (
+            supports_performer_fused,
+        )
+
+        if self.impl == "xla":
+            return False
+        if self.impl == "auto" and (not on_tpu() or N < self.AUTO_MIN_SEQ):
+            return False
+        ok = (deterministic and self.proj_method == "favorp"
+              and not self.cos_weighting
+              and self.sample_scheme in ("default", "fixed", "learnable")
+              and key_padding_mask is None
+              and supports_performer_fused(B, N, three_hd,
+                                           self.approx_attn_dim, itemsize))
+        if self.impl == "fused" and not ok:
+            raise NotImplementedError(
+                "impl='fused' requires TPU, deterministic favorp without "
+                "cos-weighting or a padding mask, and a supported geometry")
+        return ok
+
+    def __call__(
+        self,
+        x: Array,
+        key_padding_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        B = x.shape[0]
+        C = x.shape[-1]
+        seq_shape = x.shape[1:-1]
+        N = math.prod(seq_shape)
+        if self._fused_ok(B, N, 3 * self.dim, key_padding_mask,
+                          deterministic,
+                          4 if x.dtype == jnp.float32 else x.dtype.itemsize):
+            from efficient_attention_tpu.attention.base import on_tpu
+            from efficient_attention_tpu.ops.pallas.performer_fused import (
+                performer_attention_fused,
+            )
+
+            # packed [B, N, 3HD] straight into the kernel: qkv read from
+            # HBM once, the prime maps never materialize
+            qkv_p = self.qkv(x.reshape(B, N, C))
+            proj = self.get_proj_matrix(deterministic, x.dtype)
+            out = performer_attention_fused(
+                qkv_p, proj, self.num_heads, interpret=not on_tpu())
+            out = self.proj(out.reshape((B,) + tuple(seq_shape) + (C,)))
+            return self.proj_dropout(out, deterministic=deterministic)
+        return super().__call__(x, key_padding_mask, deterministic)
 
     def _apply_attention(
         self,

@@ -1124,3 +1124,76 @@ class TestLaraFusedKernel:
         assert np.isfinite(np.asarray(gk)).all()
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gt),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPerformerFusedKernel:
+    """Fused FAVOR+ kernel (ops/pallas/performer_fused.py) vs the module's
+    reference-shaped XLA composition, interpret mode (CPU)."""
+
+    def _module(self, impl, sample_scheme="default"):
+        from efficient_attention_tpu.attention.kernelized import (
+            KernelizedAttention,
+        )
+
+        return KernelizedAttention(dim=128, num_heads=2, approx_attn_dim=64,
+                                   sample_scheme=sample_scheme, impl=impl)
+
+    @pytest.mark.parametrize("sample_scheme", ["default", "learnable"])
+    def test_matches_xla_2d(self, rng, sample_scheme):
+        x = jax.random.normal(rng, (2, 8, 8, 128))
+        m_xla = self._module("xla", sample_scheme)
+        m_fus = self._module("fused", sample_scheme)
+        params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+        ref = m_xla.apply(params, x, deterministic=True)
+        out = m_fus.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_matches_xla_1d(self, rng):
+        x = jax.random.normal(rng, (2, 64, 128))
+        m_xla = self._module("xla")
+        m_fus = self._module("fused")
+        params = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)
+        ref = m_xla.apply(params, x, deterministic=True)
+        out = m_fus.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_fused_refuses_padding_mask(self, rng):
+        x = jax.random.normal(rng, (2, 64, 128))
+        mask = jnp.zeros((2, 64), bool).at[:, 48:].set(True)
+        m_fus = self._module("fused")
+        params = m_fus.init(jax.random.PRNGKey(0), x, deterministic=True)
+        with pytest.raises(NotImplementedError):
+            m_fus.apply(params, x, mask, deterministic=True)
+
+    def test_twin_matches_kernel_and_grads_flow(self, rng):
+        """The XLA twin (custom-vjp fallback) computes the same function;
+        grads through the fused path are finite and equal the twin's."""
+        from efficient_attention_tpu.ops.pallas.performer_fused import (
+            performer_attention_fused,
+            performer_fused_twin,
+        )
+
+        B, H, d, N, m = 2, 2, 64, 64, 64
+        hd = H * d
+        ks = jax.random.split(rng, 2)
+        qkv = jax.random.normal(ks[0], (B, N, 3 * hd))
+        proj = jax.random.normal(ks[1], (H, m, d))
+
+        def f_kernel(q):
+            out = performer_attention_fused(q, proj, H, interpret=True)
+            return jnp.sum(out * out)
+
+        w_p = proj.transpose(1, 0, 2).reshape(m, hd).astype(jnp.float32)
+
+        def f_twin(q):
+            return jnp.sum(performer_fused_twin(q, w_p, nh=H) ** 2)
+
+        vk, gk = jax.value_and_grad(f_kernel)(qkv)
+        vt, gt = jax.value_and_grad(f_twin)(qkv)
+        np.testing.assert_allclose(float(vk), float(vt),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.isfinite(np.asarray(gk)).all()
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gt),
+                                   rtol=1e-4, atol=1e-5)
